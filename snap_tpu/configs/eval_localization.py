@@ -1,0 +1,35 @@
+"""Offline localization evaluation config (reference:
+snap/configs/eval_localization.py)."""
+
+from __future__ import annotations
+
+from ml_collections import config_dict
+
+from snap_tpu.configs import defaults
+
+
+def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
+  """Return the config."""
+  del args_str
+  config = config_dict.create(
+      workdir=config_dict.placeholder(str),
+      checkpoint_step=config_dict.placeholder(int),
+      batch_size=4,
+      rng_seed=0,
+      dtype_str='float32',
+      tag='',
+      overwrite=False,
+      data=config_dict.create(
+          rng_seed=0,
+          split='test',
+          name_pattern='{}-synthetic_eval',
+          loader=defaults.streetview_singlescene(),
+      ),
+      model=config_dict.create(
+          num_pose_samples=20_000,
+          num_pose_sampling_retries=8,
+          do_grid_refinement=True,
+      ),
+  )
+  config.data.loader.evaluation_size = 4096
+  return config.lock()

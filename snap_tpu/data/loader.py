@@ -1,0 +1,265 @@
+"""Data pipeline: synthetic builder -> batched, typed, device-placed iterators.
+
+Re-design of the reference tf.data/TFDS pipeline (snap/data/loader.py) around
+the synthetic generator:
+
+- worker threads build numpy examples and batches (the host-side analogue of
+  tf.data's threadpool);
+- ``process_batch`` wraps pose/intrinsics dicts into Transform3D /
+  FisheyeCamera pytrees so batches carry typed geometry into jit;
+- strings never enter the device path: they live under the ``_host`` key and
+  are stripped before device placement (the reference instead threads string
+  arrays around jit, snap/utils/misc.py:48-54);
+- batches are placed on the mesh with a NamedSharding (batch axis over
+  'data') by an async double-buffered prefetcher — the jit+sharding
+  equivalent of flax's prefetch_to_device.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import functools
+import queue as queue_lib
+import threading
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+
+from snap_tpu.data import synthetic
+from snap_tpu.data import types
+from snap_tpu.utils import geometry
+from snap_tpu.utils import grids
+
+DataDict = Dict[str, Any]
+
+
+@dataclasses.dataclass
+class Dataset:
+  """Train/eval iterators + metadata (mirrors scenic's Dataset tuple)."""
+
+  train_iter: Optional[Iterator[DataDict]]
+  valid_iter: Optional[Iterator[DataDict]]
+  test_iter: Optional[Iterator[DataDict]]
+  meta_data: Dict[str, Any]
+
+
+def process_scene_batch(batch: DataDict) -> DataDict:
+  """Wrap stacked pose/intrinsics dicts into typed geometry pytrees."""
+  batch = dict(batch)
+  batch['camera'] = geometry.FisheyeCamera.from_dict(batch['camera'])
+  batch['T_view2scene'] = geometry.Transform3D(**batch['T_view2scene'])
+  return batch
+
+
+def process_batch(batch: DataDict, mode: types.DataMode) -> DataDict:
+  """Typed-geometry wrapping per data mode; strings to the _host side-channel."""
+  host: DataDict = {}
+  if mode == types.DataMode.SINGLE_SCENE:
+    host['scene_id'] = batch.pop('scene_id')
+    host['vehicle_type'] = batch.pop('vehicle_type')
+    batch = process_scene_batch(batch)
+  elif mode == types.DataMode.PAIR_SCENE_VIEW:
+    for k in ('map', 'query'):
+      scene = dict(batch[k])
+      host[f'{k}/scene_id'] = scene.pop('scene_id')
+      host[f'{k}/vehicle_type'] = scene.pop('vehicle_type')
+      batch[k] = process_scene_batch(scene)
+    batch['T_query2map'] = geometry.Transform3D(**batch['T_query2map'])
+    host['pair_id'] = batch.pop('pair_id')
+  else:
+    raise NotImplementedError(mode)
+  batch['_host'] = host
+  return batch
+
+
+def _stack_examples(examples: list[DataDict]) -> DataDict:
+  def stack(*xs):
+    if isinstance(xs[0], str):
+      return np.asarray(xs)
+    return np.stack(xs)
+
+  return jax.tree_util.tree_map(stack, *examples)
+
+
+def split_host_data(batch: DataDict) -> tuple[DataDict, DataDict]:
+  batch = dict(batch)
+  host = batch.pop('_host', {})
+  return batch, host
+
+
+class _PrefetchIterator:
+  """Background thread building batches; double-buffered device placement."""
+
+  def __init__(
+      self,
+      make_batch: Callable[[int], DataDict],
+      num_batches: Optional[int],
+      sharding: Optional[jax.sharding.Sharding],
+      buffer_size: int = 2,
+      start_index: int = 0,
+  ):
+    self._make_batch = make_batch
+    self._num_batches = num_batches
+    self._sharding = sharding
+    self._queue: queue_lib.Queue = queue_lib.Queue(maxsize=buffer_size)
+    self._index = start_index
+    self._thread = threading.Thread(target=self._worker, daemon=True)
+    self._thread.start()
+
+  def _worker(self):
+    i = self._index
+    while True:
+      if self._num_batches is not None and i >= self._num_batches:
+        i = 0  # eval iterators repeat after a full pass
+      batch = self._make_batch(i)
+      device_batch, host = split_host_data(batch)
+      if self._sharding is not None:
+        device_batch = jax.device_put(device_batch, self._sharding)
+      self._queue.put((device_batch, host))
+      i += 1
+
+  def __iter__(self):
+    return self
+
+  def __next__(self) -> DataDict:
+    device_batch, host = self._queue.get()
+    device_batch['_host'] = host
+    return device_batch
+
+
+def location_seed(location: Optional[str], base_seed: int) -> int:
+  """Stable per-location seed so pseudo-cities have disjoint content."""
+  if not location:
+    return base_seed
+  h = 0
+  for ch in str(location):
+    h = (h * 131 + ord(ch)) % (2**31)
+  return (base_seed * 1_000_003 + h) % (2**31)
+
+
+def get_dataset(
+    *,
+    batch_size: int,
+    eval_batch_size: Optional[int],
+    dataset_configs: ml_collections.ConfigDict,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    shuffle_seed: int = 0,
+    start_step: int = 0,
+) -> Dataset:
+  """Build train/eval iterators over synthetic scenes.
+
+  The batch axis is sharded over the mesh 'data' axis when a mesh is given.
+  Multi-host: each process generates the subrange of examples assigned to it
+  (disjoint seeds), the global batch is assembled per host from its local
+  shard via ``jax.make_array_from_process_local_data`` semantics — for
+  single-host runs (this round's scope) the whole batch is local.
+  """
+  eval_batch_size = eval_batch_size or batch_size
+  mode = types.DataMode(dataset_configs.mode or 'pair_scene_view')
+  voxel_size = dataset_configs.voxel_size or 0.2
+
+  scene_config = types.SceneConfig(
+      num_views=dataset_configs.get('num_views') or 10)
+  rasters_config = types.RastersConfig(resolution=voxel_size)
+  lidar_config = types.LidarConfig(
+      num_rays=dataset_configs.get('num_rays') or 10_000)
+  build_config = types.ProcessingConfig(
+      mode=mode,
+      scene_config=scene_config,
+      rasters_config=rasters_config,
+      lidar_config=lidar_config,
+  )
+
+  image_hw = tuple(dataset_configs.get('image_size') or (90, 120))
+  example_kwargs = dict(
+      mode=mode,
+      add_images=dataset_configs.add_images,
+      add_rasters=dataset_configs.add_rasters,
+      add_lidar_rays=dataset_configs.add_lidar_rays,
+      num_rays=dataset_configs.get('num_rays'),
+  )
+
+  def make_generator(location: Optional[str], seed_salt: int):
+    return synthetic.SyntheticSceneGenerator(
+        scene_config=scene_config,
+        rasters_config=rasters_config,
+        lidar_config=lidar_config,
+        image_hw=image_hw,
+        voxel_size=voxel_size,
+        seed=location_seed(location, shuffle_seed + seed_salt),
+    )
+
+  sharding = None
+  if mesh is not None:
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec('data'))
+
+  process_index = jax.process_index()
+  num_processes = jax.process_count()
+
+  def make_batch(generator, bs, is_training, num_examples, batch_index):
+    examples = []
+    for k in range(bs):
+      global_idx = batch_index * bs + k
+      if is_training:
+        idx = global_idx * num_processes + process_index
+      else:
+        idx = min(global_idx, max(num_examples - 1, 0))
+      example = generator.make_example(idx, **example_kwargs)
+      examples.append(example)
+    batch = _stack_examples(examples)
+    if not is_training and num_examples is not None:
+      start = batch_index * bs
+      mask = (np.arange(start, start + bs) < num_examples)
+    else:
+      mask = np.ones(bs, bool)
+    batch['batch_mask'] = mask.astype(np.float32)
+    return process_batch(batch, mode)
+
+  train_location = dataset_configs.locations.training
+  eval_location = dataset_configs.locations.evaluation or train_location
+
+  train_gen = make_generator(train_location, seed_salt=0)
+  eval_gen = make_generator(eval_location, seed_salt=1)
+
+  evaluation_size = int(dataset_configs.evaluation_size or 1024)
+  num_eval_batches = -(-evaluation_size // eval_batch_size)
+
+  train_iter = _PrefetchIterator(
+      functools.partial(make_batch, train_gen, batch_size, True, None),
+      num_batches=None,
+      sharding=sharding,
+      buffer_size=int(dataset_configs.get('prefetch_buffer_size') or 2),
+      start_index=start_step,
+  )
+  eval_iter = _PrefetchIterator(
+      functools.partial(
+          make_batch, eval_gen, eval_batch_size, False, evaluation_size),
+      num_batches=num_eval_batches,
+      sharding=sharding,
+      buffer_size=2,
+  )
+
+  grid_size_meters = scene_config.grid_size
+  grid = grids.Grid3D.from_extent_meters(grid_size_meters, voxel_size)
+  training_size = int(dataset_configs.get('training_size_per_builder')
+                      or 1_000_000)
+
+  def get_dummy_batch():
+    return make_batch(train_gen, batch_size, True, None, 0)
+
+  meta_data = {
+      'grid': grid,
+      'build_config': build_config,
+      'grid_size_meters': grid_size_meters,
+      'num_train_examples': training_size,
+      'num_eval_examples': evaluation_size,
+      'get_dummy_batch_fn': get_dummy_batch,
+      'semantic_map_classes': rasters_config.semantic_classes,
+      'semantic_classes_gt': rasters_config.gt_semantic_classes,
+  }
+  return Dataset(train_iter, eval_iter, None, meta_data)

@@ -1,0 +1,35 @@
+"""Evaluation entry point: ``python -m snap_tpu.evaluate
+--config=snap_tpu/configs/eval_localization.py --config.workdir=<dir>``.
+
+Thin wrapper over the evaluator (reference: snap/evaluate.py).
+"""
+
+from __future__ import annotations
+
+from absl import app
+from absl import flags
+
+from snap_tpu import evaluator
+from snap_tpu.utils.configs import load_config_module as load_config
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string('config', None, 'Path to the eval config file.')
+flags.DEFINE_string('workdir', None, 'Experiment workdir to evaluate.')
+flags.DEFINE_string('split', None, 'Override the city split.')
+flags.mark_flag_as_required('config')
+
+
+def main(argv):
+  del argv
+  config = load_config(FLAGS.config)
+  if FLAGS.workdir:
+    config.workdir = FLAGS.workdir
+  if FLAGS.split:
+    config.data.split = FLAGS.split
+  if config.workdir is None:
+    raise ValueError('--workdir (or config.workdir) is required.')
+  evaluator.run(config)
+
+
+if __name__ == '__main__':
+  app.run(main)

@@ -1,0 +1,255 @@
+"""Offline multi-city evaluation with cached npz dumps.
+
+Reference behavior: snap/evaluator.py — per city: rebuild the config by a
+3-level merge (defaults < experiment < eval), restore the checkpoint, run the
+jitted eval step over the valid split, pack per-example metrics, and dump
+``workdir/evaluation/<location><tag>/results.npz`` + ``config.yaml``
+(re-read on cache hit). Fixes vs upstream: no hardcoded gpu device
+(snap/evaluator.py:190), 'seattle' typo (snap/evaluator.py:42).
+"""
+
+from __future__ import annotations
+
+import functools
+import io
+import pathlib
+from typing import Any, Dict, Optional, Tuple
+
+from absl import logging
+import jax
+import jax.numpy as jnp
+from ml_collections import config_dict
+import numpy as np
+
+from snap_tpu import models
+from snap_tpu.configs import defaults as default_configs
+from snap_tpu.data import loader as data_loader
+from snap_tpu.models import base
+from snap_tpu.train_lib import checkpoints
+from snap_tpu.utils import configs as config_utils
+from snap_tpu.utils import geometry
+from snap_tpu.utils import misc
+
+CITIES_SPLITS = {
+    'train': default_configs.DATA_SPLITS_CITIES['train'],
+    'test': default_configs.DATA_SPLITS_CITIES['test'],
+}
+
+ResultDict = Dict[str, np.ndarray]
+
+
+def compute_distance_view_to_map(
+    m_t_vq: geometry.Transform3D, m_t_vm: geometry.Transform3D
+) -> Tuple[jax.Array, jax.Array]:
+  dr, dt = (m_t_vq.inv @ m_t_vm).magnitude()
+  dt_closest = dt.min(-1)
+  dr_closest = jnp.take_along_axis(
+      dr, jnp.argmin(dt, axis=-1)[..., None], axis=-1).squeeze(-1)
+  return dr_closest, dt_closest
+
+
+def pack_localization_metrics(
+    training_metrics: base.MetricsDict,
+    losses: base.LossDict,
+    data: base.Batch,
+    pred: base.Predictions,
+) -> base.MetricsDict:
+  """Per-example evaluation metrics (batched, no vmap needed)."""
+  m_t_vq = data['T_query2map'][..., None] @ data['query']['T_view2scene']
+  dr_closest, dt_closest = compute_distance_view_to_map(
+      m_t_vq[..., :1], data['map']['T_view2scene']
+  )
+  return dict(
+      error_max_meter=training_metrics['loc/err_max_position'],
+      error_max_deg=training_metrics['loc/err_max_rotation'],
+      recall_top1=training_metrics['loc/recall_top1'],
+      pose_score_max=pred['scores_poses'][..., 1:].max(-1),
+      overlap=data['overlap'],
+      time_delta_days=data['time_delta_days'],
+      closest_map_view_meter=dt_closest,
+      closest_map_view_deg=dr_closest,
+      loss=losses['total'],
+  )
+
+
+def eval_step(
+    params: Any,
+    model_state: Any,
+    batch: base.Batch,
+    *,
+    rng: jax.Array,
+    model: base.BaseModel,
+) -> base.MetricsDict:
+  """Evaluate a batch of examples (jitted by the caller)."""
+  variables = {'params': params, **model_state}
+  pred = model.flax_model.apply(
+      variables, batch, train=False, mutable=False,
+      rngs={'sampling': rng},
+  )
+  losses, metrics = model.loss_metrics_function(pred, batch, params)
+  match (model_name := type(model).__name__):
+    case 'BEVLocalizerModel':
+      metrics = pack_localization_metrics(metrics, losses, batch, pred)
+    case 'SemanticNetModel':
+      metrics = model.pack_evaluation_metrics(metrics, losses, batch, pred)
+    case _:
+      raise ValueError(f'No packing function for model {model_name}.')
+  return metrics
+
+
+def eval_on_dataset(
+    model: base.BaseModel,
+    params: Any,
+    model_state: Any,
+    dataset: data_loader.Dataset,
+    rng: jax.Array,
+    batch_size: int,
+) -> ResultDict:
+  """Run eval over the valid split; returns stacked per-example metrics."""
+  eval_step_jit = jax.jit(functools.partial(eval_step, rng=rng, model=model))
+  results = []
+  num_examples = dataset.meta_data['num_eval_examples']
+  num_steps = int(np.ceil(num_examples / batch_size))
+  for step in range(num_steps):
+    batch = next(dataset.valid_iter)
+    host = batch.pop('_host', {})
+    metrics = jax.device_get(eval_step_jit(params, model_state, batch))
+    mask = np.asarray(batch['batch_mask']) > 0
+    metrics['vehicle_map'] = host.get(
+        'map/vehicle_type', host.get('vehicle_type'))
+    if 'pair_id' in host:
+      metrics['vehicle_query'] = host['query/vehicle_type']
+      metrics['pair_id'] = host['pair_id']
+    for i in range(len(mask)):
+      if not mask[i]:
+        continue
+      results.append(misc.tree_index(metrics, i))
+    logging.log_every_n(logging.INFO, 'Evaluated %d/%d examples.', 10,
+                        (step + 1) * batch_size, num_examples)
+  return jax.tree_util.tree_map(lambda *t: np.asarray(t), *results)
+
+
+def get_model_and_dataset(
+    eval_config: config_dict.ConfigDict,
+    config: config_dict.ConfigDict,
+    workdir: pathlib.Path,
+    location: str,
+):
+  """Load dataset and model for one location, merging configs 3 ways."""
+  config.batch_size = eval_config.batch_size
+
+  # Data config precedence: evaluation > experiment > default.
+  config_data_xp = config_utils.configs_merge(
+      getattr(default_configs, config.data.name)(), config.data
+  )
+  override_keys = ('voxel_size', 'add_images', 'add_lidar_rays', 'add_rasters',
+                   'mode', 'num_views', 'image_size')
+  config_data_override = {
+      k: config_data_xp.get(k) for k in override_keys if k in config_data_xp
+  }
+  config.data = config_utils.configs_merge(
+      eval_config.data.loader, config_dict.ConfigDict(config_data_override)
+  )
+  with config.data.unlocked():
+    config.data.locations.training = location
+    config.data.locations.evaluation = location
+
+  dataset = data_loader.get_dataset(
+      batch_size=eval_config.batch_size,
+      eval_batch_size=eval_config.batch_size,
+      dataset_configs=config.data,
+      shuffle_seed=eval_config.data.rng_seed,
+  )
+
+  dtype = getattr(jnp, eval_config.dtype_str)
+  model_class = models.get_model(config.model_name)
+  config_model_default = model_class.default_flax_model_config()
+  config.model = config_utils.configs_merge(config_model_default, config.model)
+  config.model = config_utils.configs_merge(config.model, eval_config.model)
+  model = model_class(config.model, dataset.meta_data, dtype)
+
+  raw = checkpoints.restore_raw(workdir, step=eval_config.checkpoint_step)
+  params = jax.tree_util.tree_map(
+      lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
+          jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x),
+      raw['params'])
+  model_state = raw.get('model_state', {})
+
+  logging.info('Loaded experiment %s at step %s.',
+               workdir, raw.get('global_step'))
+  return model, params, model_state, dataset, config
+
+
+def write_eval_dump(
+    eval_dir: pathlib.Path,
+    results: ResultDict,
+    config: config_dict.ConfigDict,
+    compressed: bool = False,
+):
+  eval_dir.mkdir(parents=True, exist_ok=True)
+  buf = io.BytesIO()
+  (np.savez_compressed if compressed else np.savez)(buf, **results)
+  (eval_dir / 'results.npz').write_bytes(buf.getvalue())
+  config_utils.config_save(eval_dir, config)
+
+
+def read_eval_dump(
+    eval_dir: pathlib.Path,
+) -> Tuple[ResultDict, config_dict.ConfigDict]:
+  raw = (eval_dir / 'results.npz').read_bytes()
+  results = dict(np.load(io.BytesIO(raw), allow_pickle=False))
+  config = config_utils.config_load(eval_dir)
+  return results, config
+
+
+def compute_recall(
+    errors: np.ndarray, max_error: float
+) -> Tuple[np.ndarray, np.ndarray]:
+  """Cumulative recall over 100 thresholds in [0, max_error] (percent)."""
+  thresholds = np.linspace(0, max_error, 100)
+  recall = np.mean(errors < thresholds[:, None], axis=1)
+  return thresholds, recall * 100
+
+
+def run_for_location(
+    location: str,
+    eval_config: config_dict.ConfigDict,
+    fail_if_missing: bool = False,
+) -> Tuple[ResultDict, config_dict.ConfigDict]:
+  """Evaluate one location, reusing a cached dump when present."""
+  workdir = pathlib.Path(eval_config.workdir)
+  experiment_config = config_utils.config_load(workdir)
+  eval_path = workdir / 'evaluation' / f'{location}{eval_config.tag}'
+  if (eval_path / 'results.npz').exists() and not eval_config.overwrite:
+    logging.info('Loading cached dump from %s.', eval_path)
+    return read_eval_dump(eval_path)
+  if fail_if_missing:
+    raise ValueError(f'Missing dump for {workdir} at {eval_path}.')
+  model, params, model_state, dataset, config = get_model_and_dataset(
+      eval_config, experiment_config, workdir, location
+  )
+  results = eval_on_dataset(
+      model, params, model_state, dataset,
+      jax.random.PRNGKey(eval_config.rng_seed),
+      eval_config.batch_size,
+  )
+  write_eval_dump(eval_path, results, config)
+  logging.info('Evaluation results written to %s.', eval_path)
+  return results, config
+
+
+def run(
+    config: config_dict.ConfigDict, **kwargs
+) -> Dict[str, Tuple[ResultDict, config_dict.ConfigDict]]:
+  """Evaluate on multiple locations sequentially."""
+  split = config.data.split
+  if split is None:
+    raise ValueError('Split is required but is None.')
+  cities = CITIES_SPLITS.get(split, split.split(','))
+  logging.info('Running evaluation for cities %s.', cities)
+  results = {}
+  for city in cities:
+    location = config.data.name_pattern.format(city)
+    logging.info('Running evaluation for location %s.', location)
+    results[city] = run_for_location(location, config, **kwargs)
+  return results

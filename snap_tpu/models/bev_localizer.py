@@ -1,0 +1,320 @@
+"""Estimate the 3-DoF relative pose between a query view and a neural map.
+
+Reference behavior: snap/models/bev_localizer.py. The query scene is encoded
+on a gravity-aligned frustum grid, correlated densely against the map plane
+(an einsum that maps straight onto the MXU), poses are hypothesized either by
+PDF-weighted RANSAC (reference default) or by dense exhaustive voting (live
+backend here; dead code upstream), scored, and refined. The loss is InfoNCE
+over pose scores with the GT pose at index 0.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from absl import logging
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+
+from snap_tpu.configs import defaults as default_configs
+from snap_tpu.data import types as data_types
+from snap_tpu.models import base
+from snap_tpu.models import bev_mapper
+from snap_tpu.models import layers
+from snap_tpu.models import pose_estimation
+from snap_tpu.models import pose_exhaustive_voting
+from snap_tpu.utils import geometry
+from snap_tpu.utils import grids
+
+Array = jax.Array
+
+
+def build_query_frustum_grid(
+    cell_size: float,
+    depth: float,
+    filter_points_in_fov: bool = False,
+    hfov_deg: Optional[float] = None,
+) -> Tuple[grids.Grid2D, np.ndarray, np.ndarray]:
+  """Gravity-aligned grid bounding the query camera frustum.
+
+  Static (numpy) computation so point counts are compile-time constants.
+  Reference: snap/models/bev_localizer.py:36-55.
+  """
+  width = 3 * depth // 2  # Coarse approximation of the 72 deg HFoV.
+  grid = grids.Grid2D.from_extent_meters((width, depth), cell_size)
+  grid_p_view = np.array([width / 2, 0.0])
+
+  idx = np.moveaxis(
+      np.mgrid[: grid.extent[0], : grid.extent[1]], 0, -1)
+  qgrid_xy_p = (idx + 0.5) * cell_size
+  q_xy_p = qgrid_xy_p - grid_p_view
+  if filter_points_in_fov:
+    angle = np.arctan2(q_xy_p[..., 0], q_xy_p[..., 1])
+    max_angle = np.deg2rad(hfov_deg / 2)
+    q_xy_p = q_xy_p[np.abs(angle) < max_angle][:, None]
+  return grid, grid_p_view, q_xy_p.astype(np.float32)
+
+
+class BEVLocalizer(nn.Module):
+  """Pose estimation between an overlapping (map, query) scene pair."""
+
+  config: ml_collections.ConfigDict
+  scene_config: data_types.SceneConfig
+  grid_map: grids.Grid2D
+  semantic_map_classes: Optional[tuple] = None
+  dtype: jnp.dtype = jnp.float32
+
+  def __post_init__(self):
+    self.grid_query, self.qgrid_p_q, self.q_xy_p = build_query_frustum_grid(
+        self.grid_map.cell_size,
+        self.config.query_frustum_depth,
+        self.config.filter_points_in_fov,
+        self.scene_config.streetview_hfov_deg,
+    )
+    super().__post_init__()
+
+  def setup(self):
+    if self.config.add_confidence_map:
+      raise NotImplementedError('Map confidence is not yet supported.')
+    mapper_config = self.config.bev_mapper
+    if self.config.add_confidence_query or self.config.add_confidence_map:
+      mapper_config = ml_collections.ConfigDict(mapper_config)
+      mapper_config.add_confidence = True
+      mapper_config = mapper_config.lock()
+    self.bev_mapper = bev_mapper.BEVMapper(
+        mapper_config,
+        self.grid_map,
+        self.semantic_map_classes,
+        self.dtype,
+    )
+    self.bev_mapper_query = None
+    if self.config.bev_mapper_query is not None:
+      query_config = self.config.bev_mapper_query
+      if self.config.add_confidence_query:
+        query_config = ml_collections.ConfigDict(query_config)
+        query_config.add_confidence = True
+        query_config = query_config.lock()
+      self.bev_mapper_query = bev_mapper.BEVMapper(
+          query_config,
+          self.grid_map,
+          self.semantic_map_classes,
+          self.dtype,
+      )
+    if self.config.add_temperature:
+      init_temperature = nn.initializers.constant(self.config.init_temperature)
+      self.temperature = self.param('temperature', init_temperature, ())
+
+  def __call__(
+      self, data: base.Batch, train: bool = False, debug: bool = False
+  ) -> base.Predictions:
+    batch_size = len(data['query']['images'])
+    q_xy_p = jnp.broadcast_to(
+        jnp.asarray(self.q_xy_p)[None], (batch_size, *self.q_xy_p.shape))
+
+    pred = {}
+    pred['map'] = self.bev_mapper(data['map'], train, debug)
+    pred['query'] = (self.bev_mapper_query or self.bev_mapper)(
+        data['query'] | dict(xy_bev=q_xy_p),
+        train,
+        debug,
+        is_query=True,
+    )
+
+    plane_map = pred['map']['bev_matching']
+    plane_q = pred['query']['bev_matching']
+    rng_poses = jax.random.split(self.make_rng('sampling'), batch_size)
+
+    # Gather query points: [B, N, 2] coords, [B, N] validity, [B, N, D] feats.
+    q_xy_p = q_xy_p.squeeze(2)
+    valid_points = plane_q.valid.reshape(batch_size, -1)
+    f_p_q = plane_q.features.reshape(batch_size, -1,
+                                     plane_q.features.shape[-1])
+
+    # Dense point-vs-map similarity: one big MXU contraction.
+    sim_points = jnp.einsum(
+        '...nd,...ijd->...nij', f_p_q, plane_map.features)
+    if self.config.clip_negative_scores:
+      sim_points = jax.nn.relu(sim_points)
+    sim_points = sim_points.astype(jnp.float32)
+    if self.config.add_temperature:
+      sim_points *= jnp.exp(self.temperature)
+    prob_points = jax.nn.softmax(sim_points, axis=(-1, -2))
+
+    if self.config.add_confidence_query:
+      conf_p = pred['query']['bev_confidence'].reshape(batch_size, -1)
+      weights = layers.masked_softmax(
+          conf_p, valid_points, -1)[..., None, None]
+      prob_points *= weights
+      sim_points *= weights
+    else:
+      num_valid = valid_points.sum(-1).clip(min=1)[:, None, None, None]
+      sim_points /= num_valid
+      prob_points /= num_valid
+
+    m_t_q_gt = data.get('T_query2map')
+    if m_t_q_gt is not None and isinstance(m_t_q_gt, geometry.Transform3D):
+      m_t_q_gt = geometry.Transform2D.from_Transform3D(m_t_q_gt)
+
+    if self.config.pose_backend == 'exhaustive':
+      pred.update(self._poses_exhaustive(
+          pred, plane_q, plane_map, sim_points, prob_points, q_xy_p,
+          valid_points, m_t_q_gt, rng_poses))
+    else:
+      pred.update(self._poses_ransac(
+          sim_points, prob_points, q_xy_p, valid_points, plane_map,
+          m_t_q_gt, rng_poses))
+
+    if self.config.do_grid_refinement:
+      pred['map_t_query_ransac'] = pred['map_t_query']
+      pred['map_t_query'], pred['scores_grid_refine'] = (
+          pose_estimation.grid_refinement_batched(
+              pred['map_t_query'],
+              sim_points,
+              q_xy_p,
+              valid_points,
+              plane_map.valid,
+              self.grid_map,
+              self.config.mask_score_out_of_bounds,
+          )
+      )
+    return pred
+
+  def _poses_ransac(
+      self, sim_points, prob_points, q_xy_p, valid_points, plane_map,
+      m_t_q_gt, rng_poses,
+  ) -> base.Predictions:
+    """Sampled pose hypotheses: PDF-RANSAC -> 2-pt Kabsch -> scoring."""
+    pred = {}
+    m_t_q = pose_estimation.sample_transforms_ransac_batched(
+        rng_poses,
+        jax.lax.stop_gradient(prob_points),
+        q_xy_p,
+        self.config.num_pose_samples,
+        self.config.num_pose_sampling_retries,
+        self.grid_map,
+    )
+    if m_t_q_gt is not None:
+      m_t_q = jax.tree_util.tree_map(
+          lambda *x: jnp.concatenate(x, 1), m_t_q_gt[..., None], m_t_q
+      )
+    pred['map_t_query_samples'] = m_t_q
+
+    pred['scores_poses'] = scores = pose_estimation.pose_scoring_many_batched(
+        m_t_q,
+        sim_points,
+        q_xy_p,
+        valid_points,
+        plane_map.valid,
+        self.grid_map,
+        self.config.mask_score_out_of_bounds,
+    )
+    # The GT pose (index 0, if present) only participates in the loss.
+    start_idx = int(m_t_q_gt is not None)
+    pred['best_index'] = best_idx = jnp.argmax(scores[:, start_idx:], axis=-1)
+    pred['map_t_query'] = jax.vmap(lambda t, i: t[i])(
+        m_t_q[:, start_idx:], best_idx)
+    return pred
+
+  def _poses_exhaustive(
+      self, pred, plane_q, plane_map, sim_points, prob_points, q_xy_p,
+      valid_points, m_t_q_gt, rng_poses,
+  ) -> base.Predictions:
+    """Dense translation x rotation voting backend.
+
+    Finds the best pose over the full discretized pose volume, then packages
+    it in the sampled-poses contract so loss/metrics are backend-agnostic:
+    the dense volume provides the negatives (every pose cell), the best cell
+    becomes the prediction.
+    """
+    del prob_points, rng_poses
+    out = {}
+    conf_q = None
+    scores_volume = pose_exhaustive_voting.exhaustive_pose_voting_batched(
+        plane_q, plane_map, self.config.num_rotations, self.grid_query,
+        self.grid_map, conf_q)
+    out['scores_pose_volume'] = scores_volume
+    b = scores_volume.shape[0]
+    flat = scores_volume.reshape(b, -1)
+
+    best = jnp.argmax(flat, axis=-1)
+    r_hw = scores_volume.shape[1:]
+    best_idx = jnp.stack(jnp.unravel_index(best, r_hw), -1)
+    m_t_q_best = pose_exhaustive_voting.exhaustive_index_to_tfm_batched(
+        best_idx, self.grid_query, self.grid_map, self.config.num_rotations,
+        self.qgrid_p_q)
+    out['map_t_query'] = m_t_q_best
+    out['best_index'] = best
+
+    if m_t_q_gt is not None:
+      # Rescore GT + best poses point-wise so the InfoNCE contrast uses the
+      # same scoring function as the dense volume normalization.
+      m_t_q = jax.tree_util.tree_map(
+          lambda *x: jnp.concatenate(x, 1),
+          m_t_q_gt[..., None], m_t_q_best[..., None])
+      scores = pose_estimation.pose_scoring_many_batched(
+          m_t_q, sim_points, q_xy_p, valid_points, plane_map.valid,
+          self.grid_map, self.config.mask_score_out_of_bounds)
+      out['scores_poses'] = scores
+      out['map_t_query_samples'] = m_t_q
+    else:
+      out['map_t_query_samples'] = m_t_q_best[..., None]
+      out['scores_poses'] = jnp.take_along_axis(flat, best[:, None], axis=-1)
+    return out
+
+
+class BEVLocalizerModel(base.BaseModel):
+  """Trainer-facing wrapper for the BEVLocalizer."""
+
+  def build_flax_model(self) -> nn.Module:
+    return BEVLocalizer(
+        self.config,
+        self.dataset_meta_data['build_config'].scene_config,
+        self.dataset_meta_data['grid'].bev(),
+        self.dataset_meta_data['semantic_map_classes'],
+        self.dtype,
+    )
+
+  @classmethod
+  def default_flax_model_config(cls) -> ml_collections.ConfigDict:
+    return default_configs.bev_localizer()
+
+  def loss_metrics_function(
+      self,
+      pred: base.Predictions,
+      data: base.Batch,
+      model_params=None,
+  ) -> base.LossMetricsTuple:
+    scores = pred['scores_poses']
+    m_t_q_gt = data['T_query2map']
+    if isinstance(m_t_q_gt, geometry.Transform3D):
+      m_t_q_gt = geometry.Transform2D.from_Transform3D(m_t_q_gt)
+    samples_t_gt = pred['map_t_query_samples'].inv @ m_t_q_gt[..., None]
+    dr_samples, dt_samples = samples_t_gt.magnitude()
+    if self.config.threshold_remove_accurate_poses is not None:
+      dr_min, dt_min = self.config.threshold_remove_accurate_poses
+      remove = (dr_samples < dr_min) & (dt_samples < dt_min)
+      remove = remove.at[..., 0].set(False)  # Keep the GT pose score.
+      scores = jnp.where(remove, -jnp.inf, scores)
+    nll = -jax.nn.log_softmax(scores, axis=-1)[..., 0]
+    losses = {'localization/nll': nll, 'total': nll}
+
+    dr, dt = (pred['map_t_query'].inv @ m_t_q_gt).magnitude()
+    metrics = {
+        'loc/err_max_position': dt,
+        'loc/err_max_rotation': dr,
+        'loc/recall_top1': jnp.argmax(pred['scores_poses'], axis=-1) == 0,
+    }
+    for t in [0.5, 1, 2, 5]:
+      metrics[f'loc/recall_max_{t}m'] = dt < t
+      metrics[f'loc/recall_max_{t}deg'] = dr < t
+    if self.config.add_temperature and model_params is not None:
+      metrics['loc/temperature'] = jnp.broadcast_to(
+          model_params['temperature'], nll.shape)
+    for dt_thresh, dr_thresh in [(0.5, 1), (1, 2), (2, 4)]:
+      recall = (dr_samples < dr_thresh) & (dt_samples < dt_thresh)
+      recall = jnp.mean(recall[..., 1:], axis=-1)  # exclude the GT pose
+      metrics[f'loc/recall_samples_{dt_thresh}m_{dr_thresh}deg'] = recall
+    return losses, metrics

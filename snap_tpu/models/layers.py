@@ -51,10 +51,13 @@ class MLP(nn.Module):
 
   @nn.compact
   def __call__(self, input_feats: Array, train: bool = False) -> Array:
+    # Params stay float32 (master weights); compute runs in self.dtype so the
+    # MXU sees bf16 operands without fp16 loss-scaling machinery.
     dense_layer = functools.partial(
         nn.Dense,
         kernel_init=jax.nn.initializers.glorot_uniform(),
-        param_dtype=self.dtype,
+        dtype=self.dtype,
+        param_dtype=jnp.float32,
     )
     activation = getattr(nn, self.config.activation)
     x = input_feats

@@ -1,0 +1,83 @@
+"""Device-mesh construction and sharding helpers.
+
+The trainer runs a single jitted step over a ``jax.sharding.Mesh`` with
+NamedSharding annotations (XLA SPMD inserts the collectives over ICI/DCN),
+replacing the reference's pmap/psum data parallelism (SURVEY.md §2.7).
+
+Axes:
+- ``data``: batch-parallel axis (gradients all-reduce over it);
+- ``model``: reserved for tensor-parallel sharding of the widest layers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import ml_collections
+import numpy as np
+
+
+def make_mesh(
+    mesh_config: Optional[ml_collections.ConfigDict] = None,
+    devices: Optional[list] = None,
+) -> Mesh:
+  """Build a mesh from a {axis: size} config; -1 takes remaining devices."""
+  devices = devices if devices is not None else jax.devices()
+  num = len(devices)
+  axes = dict(mesh_config) if mesh_config is not None else {}
+  axes.setdefault('data', -1)
+  axes.setdefault('model', 1)
+  known = int(np.prod([s for s in axes.values() if s != -1]))
+  for k, v in axes.items():
+    if v == -1:
+      axes[k] = num // known
+  sizes = tuple(axes.values())
+  if int(np.prod(sizes)) != num:
+    raise ValueError(f'Mesh {axes} does not match {num} devices.')
+  mesh_devices = np.asarray(devices).reshape(sizes)
+  return Mesh(mesh_devices, tuple(axes.keys()))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+  return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+  """Leading-axis batch sharding over the 'data' mesh axis."""
+  return NamedSharding(mesh, P('data'))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+  """Place every array leaf with its batch axis over 'data'."""
+  sharding = data_sharding(mesh)
+  return jax.device_put(batch, sharding)
+
+
+def infer_param_shardings(
+    params: Any, mesh: Mesh, min_dim: int = 256
+) -> Any:
+  """Tensor-parallel sharding rules for parameters.
+
+  Wide kernels (last dim divisible by the 'model' axis and at least
+  ``min_dim``) are sharded over 'model'; everything else is replicated. With
+  ``model=1`` this degenerates to full replication (pure DP). XLA SPMD
+  propagates these shardings into optimizer state and activations and
+  inserts the all-gathers/reduce-scatters over ICI.
+  """
+  model_size = mesh.shape.get('model', 1)
+
+  def rule(p):
+    shape = getattr(p, 'shape', ())
+    if (
+        model_size > 1
+        and len(shape) >= 2
+        and shape[-1] >= min_dim
+        and shape[-1] % model_size == 0
+    ):
+      spec = P(*([None] * (len(shape) - 1) + ['model']))
+      return NamedSharding(mesh, spec)
+    return NamedSharding(mesh, P())
+
+  return jax.tree_util.tree_map(rule, params)

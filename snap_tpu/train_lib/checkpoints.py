@@ -1,0 +1,87 @@
+"""Orbax-based checkpointing with the pretrained-subtree protocol.
+
+Replaces the reference's flax legacy checkpoints (snap/trainer.py uses
+scenic's train_utils; orbax was explicitly disabled upstream,
+snap/train.py:34). Capabilities:
+
+- save/restore of the full TrainState pytree with step-numbered directories
+  and a keep-last-N policy;
+- ``restore_params(path)``: load only the params subtree of the latest (or a
+  specific) checkpoint — used by the ``load_pretrained_variables`` protocol
+  where any module can adopt a named subtree from another experiment's
+  checkpoint (reference: snap/trainer.py:70-120).
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Any, Optional
+
+from absl import logging
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _manager(workdir: str | pathlib.Path,
+             max_to_keep: Optional[int] = None) -> ocp.CheckpointManager:
+  options = ocp.CheckpointManagerOptions(
+      max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False)
+  return ocp.CheckpointManager(
+      pathlib.Path(workdir).absolute() / 'checkpoints', options=options)
+
+
+def save_checkpoint(
+    workdir: str | pathlib.Path,
+    state: Any,
+    step: int,
+    max_to_keep: int = 10,
+) -> None:
+  """Save a pytree state at a step, keeping the last ``max_to_keep``."""
+  with _manager(workdir, max_to_keep) as mngr:
+    mngr.save(step, args=ocp.args.StandardSave(state))
+    mngr.wait_until_finished()
+
+
+def latest_step(workdir: str | pathlib.Path) -> Optional[int]:
+  path = pathlib.Path(workdir) / 'checkpoints'
+  if not path.exists():
+    return None
+  with _manager(workdir) as mngr:
+    return mngr.latest_step()
+
+
+def restore_checkpoint(
+    workdir: str | pathlib.Path,
+    state: Any,
+    step: Optional[int] = None,
+) -> tuple[Any, int]:
+  """Restore into the structure of ``state``; returns (state, start_step)."""
+  with _manager(workdir) as mngr:
+    step = step if step is not None else mngr.latest_step()
+    if step is None:
+      return state, 0
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
+    restored = mngr.restore(step, args=ocp.args.StandardRestore(abstract))
+    logging.info('Restored checkpoint at step %d from %s.', step, workdir)
+    return restored, int(step)
+
+
+def restore_raw(
+    workdir: str | pathlib.Path, step: Optional[int] = None
+) -> dict:
+  """Restore the raw state dict of a checkpoint without a template."""
+  with _manager(workdir) as mngr:
+    step = step if step is not None else mngr.latest_step()
+    if step is None:
+      raise ValueError(f'No checkpoint found in {workdir}.')
+    restored = mngr.restore(step, args=ocp.args.StandardRestore())
+  return jax.tree_util.tree_map(np.asarray, restored)
+
+
+def restore_params(
+    workdir: str | pathlib.Path, step: Optional[int] = None
+) -> dict:
+  """Restore only the raw params subtree (for pretrained-subtree loading)."""
+  restored = restore_raw(workdir, step)
+  return restored.get('params', restored)

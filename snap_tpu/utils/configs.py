@@ -8,11 +8,29 @@ for fine-tuning warnings, and YAML round-tripping of ``workdir/config.yaml``.
 from __future__ import annotations
 
 import copy
+import importlib
+import importlib.util
+import os
 import pathlib
 from typing import Any
 
 from ml_collections import config_dict
 import yaml
+
+
+def load_config_module(config_flag: str) -> config_dict.ConfigDict:
+  """Load ``get_config`` from '<file-or-module-path>[:<args>]'."""
+  path, _, args_str = config_flag.partition(':')
+  if path.endswith('.py') and os.path.exists(path):
+    spec = importlib.util.spec_from_file_location('experiment_config', path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+  else:
+    module = importlib.import_module(path.removesuffix('.py'))
+  try:
+    return module.get_config(args_str or None)
+  except TypeError:
+    return module.get_config()
 
 
 def config_update(self: config_dict.ConfigDict, other: config_dict.ConfigDict):
