@@ -83,6 +83,8 @@ def base() -> config_dict.ConfigDict:
           max_checkpoints_to_keep=10,
           # device mesh: axis sizes; -1 means "all remaining devices".
           mesh=dict(data=-1, model=1),
+          # smallest last-dim size eligible for tensor-parallel sharding
+          tp_min_dim=256,
           # logging
           log_eval_steps=1000,
           steps_per_eval=config_dict.placeholder(int),

@@ -52,8 +52,56 @@ def pose_scoring_many(
     valid_j: Array,
     grid: grids.Grid2D,
     mask_out_of_bounds: bool,
+    pose_chunk: int = 4096,
 ) -> Array:
-  """Score many poses by summing per-point score-map reads.
+  """Score many poses, tiling the pose axis to bound the [P, N] working set.
+
+  At eval budgets (20k+ poses x thousands of points) the per-(pose, point)
+  gather intermediates would otherwise dominate HBM; chunking keeps the
+  working set to ``pose_chunk x N`` while XLA pipelines the chunks.
+  """
+  p = j_t_i.shape[-1]
+  if p <= pose_chunk:
+    return _pose_scoring_block(
+        j_t_i, scores_points_all, i_xy_points, valid_points, valid_j, grid,
+        mask_out_of_bounds)
+  pad = (-p) % pose_chunk
+  pose_axis = j_t_i.angle.ndim - 1
+  angle = j_t_i.angle
+  t = j_t_i.t
+  if pad:
+    angle = jnp.concatenate(
+        [angle, jnp.zeros((*angle.shape[:-1], pad), angle.dtype)], -1)
+    t = jnp.concatenate(
+        [t, jnp.zeros((*t.shape[:-2], pad, 2), t.dtype)], -2)
+  num_chunks = (p + pad) // pose_chunk
+
+  def chunk_fn(start):
+    block = geometry.Transform2D(
+        angle=jax.lax.dynamic_slice_in_dim(angle, start, pose_chunk,
+                                           axis=pose_axis),
+        t=jax.lax.dynamic_slice_in_dim(t, start, pose_chunk, axis=pose_axis),
+    )
+    return _pose_scoring_block(
+        block, scores_points_all, i_xy_points, valid_points, valid_j, grid,
+        mask_out_of_bounds)
+
+  starts = jnp.arange(num_chunks) * pose_chunk
+  scores = jax.lax.map(chunk_fn, starts)  # [C, ..., chunk]
+  scores = jnp.moveaxis(scores, 0, -2).reshape(*scores.shape[1:-1], -1)
+  return scores[..., :p]
+
+
+def _pose_scoring_block(
+    j_t_i: geometry.Transform2D,
+    scores_points_all: Array,
+    i_xy_points: Array,
+    valid_points: Array,
+    valid_j: Array,
+    grid: grids.Grid2D,
+    mask_out_of_bounds: bool,
+) -> Array:
+  """Score a block of poses by summing per-point score-map reads.
 
   Args:
     j_t_i: candidate poses, batch shape ``[..., P]``.

@@ -321,7 +321,8 @@ def train(
   # optimizer state starts replicated; XLA propagates shardings through the
   # first donated step and they remain stable afterwards.
   repl = mesh_lib.replicated(mesh)
-  param_shardings = mesh_lib.infer_param_shardings(params, mesh)
+  param_shardings = mesh_lib.infer_param_shardings(
+      params, mesh, min_dim=config.get('tp_min_dim') or 256)
   train_state = TrainState(
       global_step=jax.device_put(host_state['global_step'], repl),
       params=jax.device_put(host_state['params'], param_shardings),

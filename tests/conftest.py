@@ -17,6 +17,10 @@ if '--xla_force_host_platform_device_count' not in _flags:
 
 import jax  # noqa: E402  (import after env setup)
 
+# The axon sitecustomize force-sets jax_platforms='axon,cpu' via
+# config.update (which outranks env vars); override it back to CPU for tests.
+jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
 # The forced-host CPU backend uses low-precision matmul accumulation by
 # default; pin the precision so numeric tests check semantics, not noise.
 jax.config.update('jax_default_matmul_precision', 'highest')
