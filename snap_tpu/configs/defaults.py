@@ -221,6 +221,11 @@ def streetview_encoder() -> config_dict.ConfigDict:
           fusion_use_variance=True,
           max_view_distance=config_dict.placeholder(float),
           pretrained_path=config_dict.placeholder(str),
+          # 'gather': reference-parity top-k gather ([N, K, D] working set);
+          # 'scan': fused per-view scan with online-softmax pooling
+          #         (O(point_tile x D) working set; TPU-preferred).
+          pooling_impl='scan',
+          point_tile=131072,
       )
   ).lock()
 

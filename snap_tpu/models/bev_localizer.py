@@ -128,7 +128,9 @@ class BEVLocalizer(nn.Module):
     rng_poses = jax.random.split(self.make_rng('sampling'), batch_size)
 
     # Gather query points: [B, N, 2] coords, [B, N] validity, [B, N, D] feats.
-    q_xy_p = q_xy_p.squeeze(2)
+    # (The grid may be [B, N, 1, 2] fov-filtered or [B, X, Y, 2] dense; the
+    # reference's squeeze(2) crashes on the dense layout.)
+    q_xy_p = q_xy_p.reshape(batch_size, -1, 2)
     valid_points = plane_q.valid.reshape(batch_size, -1)
     f_p_q = plane_q.features.reshape(batch_size, -1,
                                      plane_q.features.shape[-1])

@@ -297,8 +297,9 @@ class SemanticNetModel(base.BaseModel):
   ) -> base.LossMetricsTuple:
     if 'map' in data:
       data = data['map']
-    masks = data['rasters']['gt_semantics']
-    masks = self.transfer_labels_from_pcm(masks, data['rasters']['semantics'])
+    masks = jnp.asarray(data['rasters']['gt_semantics'])
+    masks = self.transfer_labels_from_pcm(
+        masks, jnp.asarray(data['rasters']['semantics']))
     nll_areas, metrics = self._loss_metrics_areas(pred, masks)
     losses = {'nll_areas': nll_areas}
     total = nll_areas

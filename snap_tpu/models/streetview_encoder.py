@@ -25,6 +25,7 @@ from snap_tpu.models import image_encoder
 from snap_tpu.models import layers
 from snap_tpu.models import types
 from snap_tpu.ops import view_fusion
+from snap_tpu.ops import view_scan
 from snap_tpu.utils import configs as config_utils
 from snap_tpu.utils import misc
 
@@ -92,6 +93,12 @@ class StreetViewEncoder(nn.Module):
 
     xyz = data['xyz_query']  # [B, *grid_shape, 3]
     xyz_flat = xyz.reshape(xyz.shape[0], -1, 3)
+
+    impl = self.config.get('pooling_impl') or 'gather'
+    if impl == 'scan' and self.config.depth_mlp is None:
+      return self._call_scan(
+          pred, f_images, cameras, scene_t_view, xyz, xyz_flat, train)
+
     p2d_views, visible, depth, _rays = view_fusion.project_points_to_views(
         scene_t_view, cameras, xyz_flat
     )
@@ -146,6 +153,39 @@ class StreetViewEncoder(nn.Module):
       valid = valid & (min_distance <= self.config.max_view_distance)
 
     f_grid = self.fusion_mlp(f_pooled, train)
+    f_grid = jnp.where(valid[..., None], f_grid, 0)
+    grid_shape = (-1, *xyz.shape[-4:-1])
+    f_grid = f_grid.reshape(*grid_shape, f_grid.shape[-1])
+    valid = valid.reshape(grid_shape)
+    pred['feature_volume'] = types.FeatureVolume(features=f_grid, valid=valid)
+    return pred
+
+  def _call_scan(
+      self, pred, f_images, cameras, scene_t_view, xyz, xyz_flat, train
+  ) -> base.Predictions:
+    """Fused per-view scan path (ops/view_scan.py): O(tile x D) memory."""
+    del train
+    if self.config.do_weighted_fusion:
+      f_maps, score_maps = jnp.split(
+          f_images, [self.config.feature_dim], axis=-1)
+    else:
+      f_maps, score_maps = f_images, None
+    out = view_scan.pool_views_scan(
+        f_maps,
+        score_maps,
+        scene_t_view,
+        cameras,
+        xyz_flat,
+        top_k=self.config.top_k_view_selection or 0,
+        depth_min_max=tuple(self.config.depth_min_max),
+        add_minmax=self.config.fusion_add_minmax,
+        use_variance=self.config.fusion_use_variance,
+        point_tile=self.config.get('point_tile') or 131072,
+    )
+    valid = out.valid
+    if self.config.get('max_view_distance') is not None:
+      valid = valid & (out.min_distance <= self.config.max_view_distance)
+    f_grid = self.fusion_mlp(out.stats.astype(self.dtype))
     f_grid = jnp.where(valid[..., None], f_grid, 0)
     grid_shape = (-1, *xyz.shape[-4:-1])
     f_grid = f_grid.reshape(*grid_shape, f_grid.shape[-1])

@@ -1,0 +1,269 @@
+"""Fused multi-view lifting: scan over views with online-softmax pooling.
+
+The gather formulation (ops/view_fusion.py) materializes a
+``[B, N, K, D]`` per-point-per-view feature tensor — ~6 GB at eval scale —
+and does ragged gathers across view images. This module restructures the
+computation the way a TPU wants it (same trick as Fast-BEV and
+flash-attention):
+
+- loop over views (``lax.fori_loop``): each step projects all points into
+  ONE view and bilinearly reads its ``[h, w, D]`` feature map — a dense,
+  row-major gather with good locality;
+- pooling statistics are accumulated *online*: running max-score ``m``,
+  rescaled sum-exp ``l``, and exp-weighted feature sums ``S1``/``S2``
+  (mean = S1/l, var = S2/l − mean²) — mathematically identical to the
+  two-pass masked softmax of the reference
+  (snap/models/streetview_encoder.py:141-178) up to fp rounding;
+- top-k nearest-view selection becomes a *mask*: a cheap ``[N, V]``
+  distance top-k picks the k-th smallest visible distance per point, and a
+  view contributes iff it is visible and within that threshold — the same
+  view set as the reference's gather;
+- the whole view loop is wrapped in ``lax.map`` over point tiles, bounding
+  the working set to ``tile × D`` regardless of scene size.
+
+Peak memory drops from O(N·K·D) to O(tile·D); per-view reads are dense.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from snap_tpu.utils import geometry
+
+Array = jax.Array
+
+NEG_INF = -1e30
+
+
+class ViewScanOutput(NamedTuple):
+  stats: Array  # [B, N, C] pooled statistics (matches gather path layout)
+  valid: Array  # [B, N]
+  min_distance: Array  # [B, N]
+
+
+def _bilinear_read(image: Array, pts_ij: Array) -> Array:
+  """Dense 4-tap bilinear read of one [h, w, D] image at [N, 2] points.
+
+  Same convention as ops/view_fusion.interpolate_views_selective: shift by
+  -0.5 (pixel centers), clamp to [0, size-1], all 4 taps contribute.
+  """
+  h, w, _ = image.shape
+  size = jnp.asarray([h, w], pts_ij.dtype)
+  pts = jnp.clip(pts_ij - 0.5, 0, size - 1)
+  lower = jnp.floor(pts).astype(jnp.int32)
+  upper = jnp.minimum(lower + 1, jnp.asarray([h - 1, w - 1]))
+  frac = pts - lower
+  flat = image.reshape(h * w, -1)
+
+  def read(ci, cj):
+    return flat[ci * w + cj]
+
+  w_i = (1 - frac[:, 0], frac[:, 0])
+  w_j = (1 - frac[:, 1], frac[:, 1])
+  out = None
+  for a, ci in enumerate((lower[:, 0], upper[:, 0])):
+    for b, cj in enumerate((lower[:, 1], upper[:, 1])):
+      contrib = (w_i[a] * w_j[b])[:, None].astype(image.dtype) * read(ci, cj)
+      out = contrib if out is None else out + contrib
+  return out
+
+
+def _interp_depth_score_1d(scores: Array, depth: Array,
+                           depth_min_max: Tuple[float, float]) -> Array:
+  """Per-point linear interpolation of [N, S] log-depth-bin scores."""
+  num_bins = scores.shape[-1]
+  min_, max_ = depth_min_max
+  depth = jnp.clip(depth, min_, max_)
+  x = jnp.log(depth / min_) / jnp.log(max_ / min_) * (num_bins - 1)
+  lower = jnp.floor(x).astype(jnp.int32)
+  upper = jnp.minimum(lower + 1, num_bins - 1)
+  frac = (x - lower).astype(scores.dtype)
+  v_lo = jnp.take_along_axis(scores, lower[:, None], axis=-1)[:, 0]
+  v_hi = jnp.take_along_axis(scores, upper[:, None], axis=-1)[:, 0]
+  return v_lo * (1 - frac) + v_hi * frac
+
+
+def _view_threshold(
+    points: Array,
+    cam_centers: Array,
+    vis: Array,
+    k: int,
+) -> Tuple[Array, Array]:
+  """Per-point distance to the k-th nearest visible camera (+ min dist).
+
+  A view contributes to a point iff visible and dist <= threshold — the same
+  selection as the reference's hard top-k gather.
+  """
+  diff = points[:, None, :] - cam_centers[None, :, :]  # [N, V, 3]
+  dist = jnp.linalg.norm(diff, axis=-1)
+  dist = jnp.where(vis, dist, jnp.inf)
+  num_views = dist.shape[-1]
+  if k and num_views > k:
+    neg_topk, _ = jax.lax.top_k(-dist, k)  # [N, k]
+    threshold = -neg_topk[:, -1]
+  else:
+    threshold = jnp.full(dist.shape[:-1], jnp.inf)
+  return threshold, jnp.min(dist, axis=-1)
+
+
+def pool_views_scan_single(
+    f_images: Array,
+    scores_images: Optional[Array],
+    view_r: Array,
+    view_t: Array,
+    camera: geometry.CameraND,
+    points: Array,
+    *,
+    top_k: int,
+    depth_min_max: Tuple[float, float],
+    add_minmax: bool,
+    use_variance: bool,
+    point_tile: int = 131072,
+) -> ViewScanOutput:
+  """Single-example fused lifting (vmapped over batch by the caller).
+
+  Args:
+    f_images: ``[V, h, w, D]`` per-view feature maps (already projected).
+    scores_images: ``[V, h, w, S]`` log-depth-bin score maps, or None for
+      unweighted mean/var pooling.
+    view_r / view_t: ``[V, 3, 3]`` / ``[V, 3]`` camera-to-scene poses.
+    camera: per-view cameras, batch shape ``[V]`` (already feature-scaled).
+    points: ``[N, 3]`` scene-frame query points.
+  """
+  num_views, h, w, dim = f_images.shape
+  n = points.shape[0]
+  weighted = scores_images is not None
+
+  pad = (-n) % point_tile if n > point_tile else 0
+  if pad:
+    points = jnp.concatenate(
+        [points, jnp.zeros((pad, 3), points.dtype)], axis=0)
+  num_tiles = points.shape[0] // min(point_tile, points.shape[0])
+  tile = points.shape[0] // num_tiles
+
+  view_t_all = view_t  # [V, 3]
+
+  def process_tile(pts):
+    # Visibility of every view for threshold computation: needs projection of
+    # all views — but only the boolean, done per view inside the loop would
+    # race with the threshold. Compute [tile, V] visibility in one shot
+    # (cheap: no feature reads).
+    view_tfm = geometry.Transform3D(R=view_r, t=view_t_all)
+    pts_view = view_tfm.inv.transform(pts[None])  # [V, tile, 3]
+    _, vis_all = camera.world2image(pts_view)  # [V, tile]
+    vis_all = vis_all.T  # [tile, V]
+    threshold, min_dist = _view_threshold(pts, view_t_all, vis_all, top_k)
+
+    acc_dtype = jnp.float32
+    m = jnp.full((tile,), NEG_INF, acc_dtype)  # running max score
+    l = jnp.zeros((tile,), acc_dtype)  # running sum of exp
+    s1 = jnp.zeros((tile, dim), acc_dtype)
+    s2 = jnp.zeros((tile, dim), acc_dtype)
+    f_min = jnp.full((tile, dim), jnp.inf, acc_dtype)
+    f_max = jnp.full((tile, dim), -jnp.inf, acc_dtype)
+    count = jnp.zeros((tile,), acc_dtype)
+
+    def body(v, carry):
+      m, l, s1, s2, f_min, f_max, count = carry
+      tfm_v = geometry.Transform3D(R=view_r[v], t=view_t_all[v])
+      cam_v = jax.tree_util.tree_map(lambda x: x[v], camera)
+      pts_v = tfm_v.inv.transform(pts[None])[0]  # [tile, 3]
+      depth = pts_v[:, -1]
+      p2d, vis = cam_v.world2image(pts_v[None])
+      p2d, vis = jnp.flip(p2d[0], -1), vis[0]
+      dist = jnp.linalg.norm(pts - view_t_all[v], axis=-1)
+      select = vis & (dist <= threshold)
+
+      f_v = _bilinear_read(f_images[v], p2d).astype(acc_dtype)  # [tile, D]
+      if weighted:
+        s_maps = _bilinear_read(scores_images[v], p2d)  # [tile, S]
+        score = _interp_depth_score_1d(
+            s_maps.astype(acc_dtype), depth, depth_min_max)
+      else:
+        score = jnp.zeros((tile,), acc_dtype)
+      score = jnp.where(select, score, NEG_INF)
+
+      # Online softmax update (masked entries contribute exp(-inf) = 0).
+      new_m = jnp.maximum(m, score)
+      # Avoid NaN from (-inf) - (-inf) when nothing selected yet.
+      safe_m = jnp.where(new_m <= NEG_INF, 0.0, new_m)
+      rescale = jnp.exp(jnp.where(m <= NEG_INF, NEG_INF, m) - safe_m)
+      wv = jnp.exp(score - safe_m) * select
+      l = l * rescale + wv
+      s1 = s1 * rescale[:, None] + wv[:, None] * f_v
+      s2 = s2 * rescale[:, None] + wv[:, None] * f_v * f_v
+      if add_minmax:
+        f_min = jnp.where(select[:, None], jnp.minimum(f_min, f_v), f_min)
+        f_max = jnp.where(select[:, None], jnp.maximum(f_max, f_v), f_max)
+      count = count + select
+      return new_m, l, s1, s2, f_min, f_max, count
+
+    m, l, s1, s2, f_min, f_max, count = jax.lax.fori_loop(
+        0, num_views, body, (m, l, s1, s2, f_min, f_max, count))
+
+    valid = count > 0
+    l_safe = jnp.maximum(l, 1e-20)
+    mean = s1 / l_safe[:, None]
+    var = jnp.maximum(s2 / l_safe[:, None] - mean * mean, 0.0)
+    stats = [mean]
+    if use_variance:
+      stats.append(var)
+    if add_minmax:
+      stats.append(jnp.where(valid[:, None], f_max, 0.0))
+      stats.append(jnp.where(valid[:, None], f_min, 0.0))
+    if weighted:
+      score_max = jnp.where(valid, m, 0.0)
+      stats.append(score_max[:, None])
+    stats = jnp.where(valid[:, None], jnp.concatenate(stats, -1), 0.0)
+    return stats, valid, min_dist
+
+  if num_tiles == 1:
+    stats, valid, min_dist = process_tile(points)
+  else:
+    tiles = points.reshape(num_tiles, tile, 3)
+    stats, valid, min_dist = jax.lax.map(process_tile, tiles)
+    stats = stats.reshape(num_tiles * tile, -1)
+    valid = valid.reshape(-1)
+    min_dist = min_dist.reshape(-1)
+  if pad:
+    stats, valid, min_dist = stats[:n], valid[:n], min_dist[:n]
+  return ViewScanOutput(stats=stats, valid=valid, min_distance=min_dist)
+
+
+def pool_views_scan(
+    f_images: Array,
+    scores_images: Optional[Array],
+    scene_t_view: geometry.Transform3D,
+    camera: geometry.CameraND,
+    points: Array,
+    *,
+    top_k: int,
+    depth_min_max: Tuple[float, float],
+    add_minmax: bool,
+    use_variance: bool,
+    point_tile: int = 131072,
+) -> ViewScanOutput:
+  """Batched fused lifting: ``[B, V, h, w, D]`` images, ``[B, N, 3]`` points.
+
+  Returns pooled stats ``[B, N, C]`` with the same statistic layout as
+  ops/view_fusion.pool_multiview_features (mean, var?, max?, min?,
+  score_max?), per-point validity, and min view distance.
+  """
+  fn = functools.partial(
+      pool_views_scan_single,
+      top_k=top_k,
+      depth_min_max=depth_min_max,
+      add_minmax=add_minmax,
+      use_variance=use_variance,
+      point_tile=point_tile,
+  )
+  if scores_images is None:
+    return jax.vmap(
+        lambda f, r, t, c, p: fn(f, None, r, t, c, p)
+    )(f_images, scene_t_view.R, scene_t_view.t, camera, points)
+  return jax.vmap(fn)(
+      f_images, scores_images, scene_t_view.R, scene_t_view.t, camera, points)

@@ -121,9 +121,10 @@ def interpolate_nd(
   size = jnp.asarray(spatial)
   in_bounds = jnp.all((points >= 0) & (points < size), -1)
 
-  # Shift to cell-center indexing and clamp (boundary mode 'nearest').
+  # Shift to cell-center indexing; boundary mode 'nearest' clamps the corner
+  # *indices* while keeping the fractional weights (this matches
+  # map_coordinates semantics for both values and validity propagation).
   pts = points.astype(array.dtype) - 0.5
-  pts = jnp.clip(pts, 0, jnp.asarray(spatial, array.dtype) - 1)
 
   flat = array.reshape(-1, array.shape[-1])
   flat_valid = None if valid_array is None else valid_array.reshape(-1)
@@ -132,7 +133,7 @@ def interpolate_nd(
   ).astype(np.int32)
 
   if order == 0:
-    idx = jnp.rint(pts).astype(jnp.int32)
+    idx = jnp.clip(jnp.rint(pts).astype(jnp.int32), 0, size - 1)
     flat_idx = (idx * strides).sum(-1)
     values = flat[flat_idx]
     valid = in_bounds
@@ -140,9 +141,10 @@ def interpolate_nd(
       valid &= flat_valid[flat_idx]
     return values, valid
 
-  lower = jnp.floor(pts).astype(jnp.int32)
-  upper = jnp.minimum(lower + 1, size - 1)
-  frac = pts - lower
+  lower_raw = jnp.floor(pts)
+  frac = pts - lower_raw
+  lower = jnp.clip(lower_raw.astype(jnp.int32), 0, size - 1)
+  upper = jnp.clip(lower_raw.astype(jnp.int32) + 1, 0, size - 1)
 
   values = jnp.zeros((points.shape[0], array.shape[-1]), array.dtype)
   corners_valid = in_bounds

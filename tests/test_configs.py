@@ -1,0 +1,85 @@
+"""Config-system smoke tests: every experiment config must build."""
+
+import pytest
+from ml_collections import config_dict
+
+from snap_tpu.configs import defaults
+from snap_tpu.configs import eval_localization
+from snap_tpu.configs import eval_semantics
+from snap_tpu.configs import smoke_eval_localization
+from snap_tpu.configs import smoke_localization
+from snap_tpu.configs import train_localization
+from snap_tpu.configs import train_occupancy
+from snap_tpu.configs import train_semantics
+from snap_tpu.utils import configs as config_utils
+
+
+@pytest.mark.parametrize('module', [
+    smoke_localization, train_localization, train_semantics, train_occupancy,
+    eval_localization, eval_semantics, smoke_eval_localization,
+])
+def test_config_builds(module):
+  config = module.get_config()
+  assert isinstance(config, config_dict.ConfigDict)
+
+
+def test_localization_args_dsl():
+  config = train_localization.get_config('image_encoder=R152x2')
+  enc = config.model.bev_mapper.streetview_encoder.image_encoder.encoder
+  assert enc.depth == 152 and enc.width == 2
+  assert config.num_training_steps == 200_000
+
+
+def test_aerial_only_gets_query_mapper():
+  config = train_localization.get_config('modalities=aerial')
+  assert config.model.bev_mapper.streetview_encoder is None
+  assert config.model.bev_mapper_query is not None
+  assert config.model.bev_mapper_query.streetview_encoder is not None
+
+
+def test_lr_field_references_propagate():
+  config = train_localization.get_config()
+  assert config.lr_configs.start_decay_step == config.num_training_steps // 2
+  config.num_training_steps = 100
+  assert config.lr_configs.start_decay_step == 50
+
+
+def test_parse_argument_string():
+  args = defaults.parse_argument_string('image_encoder=R101')
+  assert args == {'image_encoder': 'R101', 'modalities': 'streetview+aerial'}
+  with pytest.raises(ValueError):
+    defaults.parse_argument_string('bogus=1')
+
+
+class TestConfigUtils:
+
+  def test_merge_overrides(self):
+    a = config_dict.ConfigDict({'x': 1, 'sub': {'y': 2, 'z': 3}})
+    b = config_dict.ConfigDict({'sub': {'y': 20}})
+    merged = config_utils.configs_merge(a, b)
+    assert merged.x == 1 and merged.sub.y == 20 and merged.sub.z == 3
+    assert a.sub.y == 2  # merge is non-destructive
+
+  def test_merge_none_initialized_field(self):
+    a = config_dict.ConfigDict(
+        {'sub': config_dict.placeholder(config_dict.ConfigDict)})
+    b = config_dict.ConfigDict({'sub': {'y': 1}})
+    merged = config_utils.configs_merge(a, b)
+    assert merged.sub.y == 1
+
+  def test_diff(self):
+    a = config_dict.ConfigDict({'x': 1, 'sub': {'y': 2}})
+    b = config_dict.ConfigDict({'x': 1, 'sub': {'y': 3}})
+    diff = config_utils.config_diff(a, b)
+    assert diff == {'sub': {'y': (2, 3)}}
+    assert config_utils.config_diff(a, a) == {}
+
+  def test_save_load_roundtrip(self, tmp_path):
+    config = smoke_localization.get_config()
+    config_utils.config_save(tmp_path, config)
+    loaded = config_utils.config_load(tmp_path)
+    assert loaded.model_name == 'bev_localizer'
+    assert loaded.batch_size == config.batch_size
+    assert not config_utils.config_diff(
+        config_dict.ConfigDict({'model': config.model.to_dict()}),
+        config_dict.ConfigDict({'model': loaded.model.to_dict()}))

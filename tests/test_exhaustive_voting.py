@@ -1,0 +1,113 @@
+"""Tests for the dense exhaustive pose-voting backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snap_tpu.models import pose_exhaustive_voting as pev
+from snap_tpu.models import types
+from snap_tpu.utils import geometry
+from snap_tpu.utils import grids
+
+
+def test_index_tfm_roundtrip():
+  grid_q = grids.Grid2D((8, 6), 0.5)
+  qgrid_p_q = np.array([2.0, 0.0])
+  num_rot = 16
+  for index in ([0, 7, 5], [3, 0, 0], [15, 10, 8]):
+    index = jnp.asarray(index)
+    tfm = pev.exhaustive_index_to_tfm(
+        index, grid_q, None, num_rot, qgrid_p_q)
+    back = pev.exhaustive_tfm_to_index(tfm, grid_q, num_rot, qgrid_p_q)
+    np.testing.assert_allclose(back, index, atol=1e-4)
+
+
+def test_template_rotation_identity():
+  """Rotation 0 reproduces the input BEV."""
+  rng = np.random.default_rng(0)
+  grid = grids.Grid2D((10, 10), 0.5)
+  feats = jnp.asarray(rng.normal(size=(10, 10, 4)), jnp.float32)
+  valid = jnp.ones((10, 10), bool)
+  templates, t_valid = pev.sample_query_templates(feats, valid, 4, grid)
+  assert templates.shape == (4, 10, 10, 4)
+  np.testing.assert_allclose(templates[0], feats, atol=1e-4)
+  assert bool(t_valid[0].all())
+
+
+def test_recovers_planted_translation():
+  """A query cut out of the map scores highest at the true offset."""
+  rng = np.random.default_rng(1)
+  cell = 0.5
+  map_feats = rng.normal(size=(24, 24, 8)).astype(np.float32)
+  # Query = map patch starting at cell (6, 4).
+  oi, oj = 6, 4
+  q_feats = map_feats[oi:oi + 12, oj:oj + 12]
+  grid_q = grids.Grid2D((12, 12), cell)
+
+  scores = pev.template_matching(
+      jnp.asarray(q_feats)[None],
+      jnp.ones((1, 12, 12), bool),
+      jnp.asarray(map_feats),
+      jnp.ones((24, 24), bool),
+  )
+  # Offset index (a, b) aligns template cell 0 with map cell (a-11, b-11).
+  idx = np.unravel_index(np.argmax(np.asarray(scores[0])), scores[0].shape)
+  assert idx == (oi + 11, oj + 11), (idx, scores.shape)
+
+
+def test_recovers_planted_rotation():
+  """A rotated copy of the map center scores highest at the true rotation."""
+  rng = np.random.default_rng(2)
+  cell = 1.0
+  num_rot = 8
+  grid = grids.Grid2D((16, 16), cell)
+  map_feats = jnp.asarray(rng.normal(size=(16, 16, 6)), jnp.float32)
+  valid = jnp.ones((16, 16), bool)
+
+  # Build the query as the map rotated by -angle_r about the center: then
+  # template r of the query reproduces the map.
+  r_true = 2
+  templates, t_valid = pev.sample_query_templates(
+      map_feats, valid, num_rot, grid)
+  # sample_query_templates(map)[k] samples map at rot(+angle_k); choosing the
+  # query = templates[num_rot - r_true] gives a BEV whose r_true-rotation
+  # matches the map orientation.
+  q_feats = templates[(num_rot - r_true) % num_rot]
+  q_valid = t_valid[(num_rot - r_true) % num_rot]
+
+  scores = pev.exhaustive_pose_voting(
+      types.FeaturePlane(features=q_feats, valid=q_valid),
+      types.FeaturePlane(features=map_feats, valid=valid),
+      num_rot,
+      grid,
+  )
+  best = np.unravel_index(np.argmax(np.asarray(scores)), scores.shape)
+  assert best[0] == r_true, (best, scores.shape)
+  # Translation at (or near) zero offset: index H-1, W-1.
+  assert abs(best[1] - 15) <= 1 and abs(best[2] - 15) <= 1
+
+
+def test_localizer_exhaustive_backend():
+  """The full localizer runs with pose_backend='exhaustive'."""
+  import helpers
+  from snap_tpu.models import bev_localizer
+
+  dataset = helpers.tiny_dataset(batch_size=2)
+  config = helpers.tiny_localizer(
+      pose_backend='exhaustive', filter_points_in_fov=False, num_rotations=8)
+  model = bev_localizer.BEVLocalizerModel(
+      config, dataset.meta_data, jnp.float32)
+  batch = dataset.meta_data['get_dummy_batch_fn']()
+  batch.pop('_host', None)
+  rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1)}
+  variables = jax.jit(
+      lambda b: model.flax_model.init(rngs, b, train=False))(batch)
+  pred = jax.jit(
+      lambda v, b: model.flax_model.apply(
+          v, b, train=False, rngs={'sampling': jax.random.PRNGKey(2)}),
+  )(variables, batch)
+  assert 'scores_pose_volume' in pred
+  assert pred['map_t_query'].shape == (2,)
+  losses, _ = model.loss_metrics_function(pred, batch, variables['params'])
+  assert bool(jnp.isfinite(losses['total']).all())

@@ -1,0 +1,111 @@
+"""Parity: fused view-scan pooling vs the reference gather formulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snap_tpu.ops import view_fusion
+from snap_tpu.ops import view_scan
+from snap_tpu.utils import geometry
+
+
+def random_rig(rng, batch, num_views):
+  """Random cameras looking around a small scene."""
+  yaw = rng.uniform(0, 2 * np.pi, size=(batch, num_views))
+  cos, sin = np.cos(yaw), np.sin(yaw)
+  zero, one = np.zeros_like(yaw), np.ones_like(yaw)
+  # yaw about z composed with cam-to-world (x right, y down->-z, z fwd->+y).
+  cam2world = np.array([[1., 0, 0], [0, 0, 1], [0, -1, 0]])
+  r_yaw = np.stack([cos, -sin, zero,
+                    sin, cos, zero,
+                    zero, zero, one], -1).reshape(batch, num_views, 3, 3)
+  R = r_yaw @ cam2world
+  t = rng.uniform([2, 2, 2], [10, 14, 3], size=(batch, num_views, 3))
+  tfm = geometry.Transform3D(
+      R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32))
+  f = 20.0
+  cams = geometry.FisheyeCamera(
+      wh=jnp.broadcast_to(jnp.asarray([16.0, 12.0]), (batch, num_views, 2)),
+      f=jnp.full((batch, num_views, 2), f),
+      c=jnp.broadcast_to(jnp.asarray([8.0, 6.0]), (batch, num_views, 2)),
+      k_radial=jnp.zeros((batch, num_views, 3)),
+      max_fov=jnp.full((batch, num_views), np.deg2rad(115.0)),
+  )
+  return tfm, cams
+
+
+def gather_reference(f_maps, score_maps, tfm, cams, points, top_k,
+                     depth_min_max, add_minmax, use_variance):
+  """The gather formulation, composed exactly as the flax module does."""
+  images = (f_maps if score_maps is None
+            else jnp.concatenate([f_maps, score_maps], -1))
+  p2d, vis, depth, _ = view_fusion.project_points_to_views(tfm, cams, points)
+  v = images.shape[1]
+  if top_k and v > top_k:
+    idx, min_dist = view_fusion.view_selection(points, tfm, vis, top_k)
+    p2d = view_fusion.gather_observations(p2d, idx)
+    vis = view_fusion.gather_observations(vis, idx)
+    depth = view_fusion.gather_observations(depth, idx)
+    f_proj = view_fusion.interpolate_views_selective(images, p2d, idx)
+  else:
+    f_proj = view_fusion.interpolate_views_all(images, p2d)
+    min_dist = None
+  if score_maps is not None:
+    f_proj, score_scales = jnp.split(f_proj, [f_maps.shape[-1]], axis=-1)
+    scores = view_fusion.interpolate_depth_score(
+        score_scales, depth, depth_min_max)
+  else:
+    scores = None
+  stats, valid = view_fusion.pool_multiview_features(
+      f_proj, vis, scores, add_minmax, use_variance)
+  return stats, valid, min_dist
+
+
+@pytest.mark.parametrize('weighted', [True, False])
+@pytest.mark.parametrize('add_minmax', [False, True])
+def test_scan_matches_gather(weighted, add_minmax):
+  rng = np.random.default_rng(0)
+  batch, num_views, h, w, dim, bins = 2, 5, 12, 16, 8, 4
+  tfm, cams = random_rig(rng, batch, num_views)
+  f_maps = jnp.asarray(
+      rng.normal(size=(batch, num_views, h, w, dim)), jnp.float32)
+  score_maps = (
+      jnp.asarray(rng.normal(size=(batch, num_views, h, w, bins)), jnp.float32)
+      if weighted else None)
+  points = jnp.asarray(
+      rng.uniform([0, 0, 0], [12, 16, 4], size=(batch, 60, 3)), jnp.float32)
+  depth_min_max = (1.0, 32.0)
+
+  stats_ref, valid_ref, min_dist_ref = gather_reference(
+      f_maps, score_maps, tfm, cams, points, 3, depth_min_max,
+      add_minmax, True)
+  out = view_scan.pool_views_scan(
+      f_maps, score_maps, tfm, cams, points,
+      top_k=3, depth_min_max=depth_min_max,
+      add_minmax=add_minmax, use_variance=True)
+
+  np.testing.assert_array_equal(out.valid, valid_ref)
+  np.testing.assert_allclose(
+      np.asarray(out.min_distance)[np.asarray(valid_ref)],
+      np.asarray(min_dist_ref)[np.asarray(valid_ref)], atol=1e-4)
+  np.testing.assert_allclose(out.stats, stats_ref, atol=2e-3)
+
+
+def test_scan_point_tiling_invariant():
+  """Tiled and untiled scans agree (padding handled correctly)."""
+  rng = np.random.default_rng(1)
+  batch, num_views, h, w, dim = 1, 4, 10, 10, 6
+  tfm, cams = random_rig(rng, batch, num_views)
+  f_maps = jnp.asarray(
+      rng.normal(size=(batch, num_views, h, w, dim)), jnp.float32)
+  points = jnp.asarray(
+      rng.uniform(0, 10, size=(batch, 37, 3)), jnp.float32)
+  kwargs = dict(top_k=2, depth_min_max=(1.0, 32.0), add_minmax=False,
+                use_variance=True)
+  out_full = view_scan.pool_views_scan(
+      f_maps, None, tfm, cams, points, point_tile=1 << 20, **kwargs)
+  out_tiled = view_scan.pool_views_scan(
+      f_maps, None, tfm, cams, points, point_tile=8, **kwargs)
+  np.testing.assert_array_equal(out_full.valid, out_tiled.valid)
+  np.testing.assert_allclose(out_full.stats, out_tiled.stats, atol=1e-5)
