@@ -42,6 +42,7 @@ def parse_argument_string(args_str: None | str) -> dict[str, Any]:
   default_args = dict(
       image_encoder='R50',
       modalities='streetview+aerial',
+      pose_backend='ransac',
   )
   if unknown_args := (set(args) - set(default_args)):
     raise ValueError(f'Unknown args: {unknown_args}')

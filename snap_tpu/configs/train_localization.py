@@ -21,6 +21,12 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   args = defaults.parse_argument_string(args_str)
   image_encoder = defaults.resnet(args['image_encoder'])
 
+  config.model.pose_backend = args['pose_backend']
+  if args['pose_backend'] == 'exhaustive':
+    # Dense voting needs the full query grid and linear (un-clipped) scores.
+    config.model.filter_points_in_fov = False
+    config.model.clip_negative_scores = False
+
   map_modalities = args['modalities'].split('+')
   config.model.bev_mapper = defaults.bev_mapper(map_modalities)
 

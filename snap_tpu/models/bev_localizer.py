@@ -162,12 +162,11 @@ class BEVLocalizer(nn.Module):
 
     if self.config.pose_backend == 'exhaustive':
       pred.update(self._poses_exhaustive(
-          pred, plane_q, plane_map, sim_points, prob_points, q_xy_p,
-          valid_points, m_t_q_gt, rng_poses))
-    else:
-      pred.update(self._poses_ransac(
-          sim_points, prob_points, q_xy_p, valid_points, plane_map,
-          m_t_q_gt, rng_poses))
+          pred, plane_q, plane_map, m_t_q_gt))
+      return pred  # dense refinement handled inside; no sampled refinement
+    pred.update(self._poses_ransac(
+        sim_points, prob_points, q_xy_p, valid_points, plane_map,
+        m_t_q_gt, rng_poses))
 
     if self.config.do_grid_refinement:
       pred['map_t_query_ransac'] = pred['map_t_query']
@@ -221,49 +220,55 @@ class BEVLocalizer(nn.Module):
     return pred
 
   def _poses_exhaustive(
-      self, pred, plane_q, plane_map, sim_points, prob_points, q_xy_p,
-      valid_points, m_t_q_gt, rng_poses,
+      self, pred, plane_q, plane_map, m_t_q_gt
   ) -> base.Predictions:
-    """Dense translation x rotation voting backend.
+    """Dense translation x rotation voting backend (the TPU-native path).
 
-    Finds the best pose over the full discretized pose volume, then packages
-    it in the sampled-poses contract so loss/metrics are backend-agnostic:
-    the dense volume provides the negatives (every pose cell), the best cell
-    becomes the prediction.
+    Computes the full pose-score volume with one FFT correlation per example
+    (pure MXU/FFT work, no scattered gathers), takes the argmax, optionally
+    refines it with a fine-angle windowed correlation, and reads the GT pose
+    score by trilinear interpolation of the volume. The loss contrasts the
+    GT score against the whole discretized pose space (InfoNCE with every
+    volume cell as a negative).
     """
-    del prob_points, rng_poses
     out = {}
-    conf_q = None
-    scores_volume = pose_exhaustive_voting.exhaustive_pose_voting_batched(
-        plane_q, plane_map, self.config.num_rotations, self.grid_query,
-        self.grid_map, conf_q)
-    out['scores_pose_volume'] = scores_volume
-    b = scores_volume.shape[0]
-    flat = scores_volume.reshape(b, -1)
+    num_rot = self.config.num_rotations
+    volume = pose_exhaustive_voting.exhaustive_pose_voting_batched(
+        plane_q, plane_map, num_rot, self.grid_query, self.grid_map)
+    out['scores_pose_volume'] = volume
+    b = volume.shape[0]
+    flat = volume.reshape(b, -1)
 
     best = jnp.argmax(flat, axis=-1)
-    r_hw = scores_volume.shape[1:]
+    r_hw = volume.shape[1:]
     best_idx = jnp.stack(jnp.unravel_index(best, r_hw), -1)
-    m_t_q_best = pose_exhaustive_voting.exhaustive_index_to_tfm_batched(
-        best_idx, self.grid_query, self.grid_map, self.config.num_rotations,
-        self.qgrid_p_q)
+    best_score = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
+    out['best_volume_index'] = best_idx
+    out['best_index'] = jnp.zeros((b,), jnp.int32)  # refined pose is 'best'
+
+    if self.config.do_grid_refinement:
+      m_t_q_best, fine_scores = (
+          pose_exhaustive_voting.dense_refinement_batched(
+              plane_q, plane_map, best_idx, self.grid_query, num_rot,
+              self.qgrid_p_q))
+      out['scores_grid_refine'] = fine_scores
+      best_score = jnp.max(fine_scores.reshape(b, -1), axis=-1)
+    else:
+      m_t_q_best = pose_exhaustive_voting.exhaustive_index_to_tfm_batched(
+          best_idx, self.grid_query, self.grid_map, num_rot, self.qgrid_p_q)
     out['map_t_query'] = m_t_q_best
-    out['best_index'] = best
 
     if m_t_q_gt is not None:
-      # Rescore GT + best poses point-wise so the InfoNCE contrast uses the
-      # same scoring function as the dense volume normalization.
-      m_t_q = jax.tree_util.tree_map(
-          lambda *x: jnp.concatenate(x, 1),
-          m_t_q_gt[..., None], m_t_q_best[..., None])
-      scores = pose_estimation.pose_scoring_many_batched(
-          m_t_q, sim_points, q_xy_p, valid_points, plane_map.valid,
-          self.grid_map, self.config.mask_score_out_of_bounds)
-      out['scores_poses'] = scores
-      out['map_t_query_samples'] = m_t_q
+      gt_idx = pose_exhaustive_voting.exhaustive_tfm_to_index(
+          m_t_q_gt, self.grid_query, num_rot, self.qgrid_p_q)
+      gt_score = jax.vmap(pose_exhaustive_voting.read_pose_volume)(
+          volume, gt_idx)
+      out['scores_poses'] = jnp.stack([gt_score, best_score], axis=-1)
+      out['map_t_query_samples'] = jax.tree_util.tree_map(
+          lambda *x: jnp.stack(x, 1), m_t_q_gt, m_t_q_best)
     else:
+      out['scores_poses'] = best_score[:, None]
       out['map_t_query_samples'] = m_t_q_best[..., None]
-      out['scores_poses'] = jnp.take_along_axis(flat, best[:, None], axis=-1)
     return out
 
 
@@ -295,12 +300,21 @@ class BEVLocalizerModel(base.BaseModel):
       m_t_q_gt = geometry.Transform2D.from_Transform3D(m_t_q_gt)
     samples_t_gt = pred['map_t_query_samples'].inv @ m_t_q_gt[..., None]
     dr_samples, dt_samples = samples_t_gt.magnitude()
-    if self.config.threshold_remove_accurate_poses is not None:
-      dr_min, dt_min = self.config.threshold_remove_accurate_poses
-      remove = (dr_samples < dr_min) & (dt_samples < dt_min)
-      remove = remove.at[..., 0].set(False)  # Keep the GT pose score.
-      scores = jnp.where(remove, -jnp.inf, scores)
-    nll = -jax.nn.log_softmax(scores, axis=-1)[..., 0]
+    if 'scores_pose_volume' in pred:
+      # Dense backend: InfoNCE of the GT score against every pose cell.
+      volume = pred['scores_pose_volume']
+      flat = jnp.where(
+          jnp.isfinite(volume), volume, -jnp.inf
+      ).reshape(volume.shape[0], -1)
+      gt_score = scores[..., 0]
+      nll = jax.scipy.special.logsumexp(flat, axis=-1) - gt_score
+    else:
+      if self.config.threshold_remove_accurate_poses is not None:
+        dr_min, dt_min = self.config.threshold_remove_accurate_poses
+        remove = (dr_samples < dr_min) & (dt_samples < dt_min)
+        remove = remove.at[..., 0].set(False)  # Keep the GT pose score.
+        scores = jnp.where(remove, -jnp.inf, scores)
+      nll = -jax.nn.log_softmax(scores, axis=-1)[..., 0]
     losses = {'localization/nll': nll, 'total': nll}
 
     dr, dt = (pred['map_t_query'].inv @ m_t_q_gt).magnitude()

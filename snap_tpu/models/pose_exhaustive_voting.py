@@ -40,19 +40,25 @@ def get_grid_center_transform(grid: grids.Grid2D) -> geometry.Transform2D:
 def sample_query_templates(
     features: Array,
     valid: Array,
-    num_rotations: int,
+    num_rotations: int | Array,
     grid: grids.Grid2D,
 ) -> Tuple[Array, Array]:
-  """Rotate a BEV into ``num_rotations`` templates about the grid center.
+  """Rotate a BEV into rotation templates about the grid center.
 
   Args:
     features: ``[H, W, D]``; valid: ``[H, W]``.
+    num_rotations: an int R (uniform angles over [0, 2pi)) or an explicit
+      ``[R]`` array of angles (e.g. a fine fan for refinement).
 
   Returns:
     templates ``[R, H, W, D]`` and validity ``[R, H, W]``. Template r at cell
     u holds the query value at ``c + R(angle_r) (u - c)``.
   """
-  angles = jnp.linspace(0, 2 * jnp.pi, num_rotations, endpoint=False)
+  if isinstance(num_rotations, int):
+    angles = jnp.linspace(0, 2 * jnp.pi, num_rotations, endpoint=False)
+  else:
+    angles = jnp.asarray(num_rotations)
+  num_rotations = angles.shape[0]
   rotated_t_grid = geometry.Transform2D.from_radians(
       angles, jnp.zeros((num_rotations, 2)))
   corner_t_center = get_grid_center_transform(grid)
@@ -126,12 +132,62 @@ def template_matching(
   return scores
 
 
+def template_matching_fft(
+    q: Array,
+    q_valid: Array,
+    m: Array,
+    m_valid: Array,
+    min_overlap: Optional[float] = 0.05,
+) -> Array:
+  """FFT-based equivalent of ``template_matching``.
+
+  Same contract and output as the direct-conv version, but O(R·D·HW log HW)
+  instead of O(R·D·HW·HqWq): at eval scale (R=64, D=32, 120x160 map) this is
+  ~20 GFLOP instead of ~2 PFLOP. The map is edge-padded first so
+  out-of-bounds reads clamp like the sampled scorer, then both sides are
+  zero-padded to the FFT size (linear, not circular, correlation).
+  """
+  r, hq, wq, d = q.shape
+  h, w = m.shape[:2]
+  out_h, out_w = h + hq - 1, w + wq - 1
+  m_pad = jnp.pad(m, ((hq - 1,) * 2, (wq - 1,) * 2, (0, 0)), mode='edge')
+  big_h, big_w = m_pad.shape[:2]
+  fft_h = big_h + hq - 1
+  fft_w = big_w + wq - 1
+
+  mf = jnp.fft.rfft2(m_pad.astype(jnp.float32), s=(fft_h, fft_w), axes=(0, 1))
+  qf = jnp.fft.rfft2(q.astype(jnp.float32), s=(fft_h, fft_w), axes=(1, 2))
+  # Correlation <-> conjugate product; sum over the feature channel.
+  prod = (jnp.conj(qf) * mf[None]).sum(-1)
+  corr = jnp.fft.irfft2(prod, s=(fft_h, fft_w), axes=(1, 2))
+  scores = corr[:, :out_h, :out_w]
+
+  if min_overlap is not None:
+    # The valid-count correlation uses the *unpadded* map mask, zero-padded
+    # into the same frame as the edge-padded map.
+    m_valid_pad = jnp.pad(
+        m_valid.astype(jnp.float32), ((hq - 1,) * 2, (wq - 1,) * 2))
+    mvf = jnp.fft.rfft2(m_valid_pad, s=(fft_h, fft_w), axes=(0, 1))
+    qvf = jnp.fft.rfft2(
+        q_valid.astype(jnp.float32), s=(fft_h, fft_w), axes=(1, 2))
+    num_valid = jnp.fft.irfft2(
+        jnp.conj(qvf) * mvf[None], s=(fft_h, fft_w), axes=(1, 2)
+    )[:, :out_h, :out_w]
+    num_valid = jnp.round(num_valid)  # counts are integers up to fp noise
+    threshold = min_overlap * math.prod(q_valid.shape[-2:])
+    scores = jnp.where(num_valid > threshold, scores, -jnp.inf)
+
+  scores /= q_valid.sum((-1, -2), keepdims=True).clip(min=1)
+  return scores
+
+
 def exhaustive_pose_voting(
     plane_q: types.FeaturePlane,
     plane_map: types.FeaturePlane,
     num_rotations: int,
     grid_q: grids.Grid2D,
     conf_q: Optional[Array] = None,
+    use_fft: bool = True,
 ) -> Array:
   """Vote over the dense (rotation, translation) pose volume.
 
@@ -144,9 +200,118 @@ def exhaustive_pose_voting(
   templates, t_valid = sample_query_templates(
       feats_q, plane_q.valid, num_rotations, grid_q
   )
-  return template_matching(
-      templates, t_valid, plane_map.features, plane_map.valid
-  )
+  matcher = template_matching_fft if use_fft else template_matching
+  return matcher(templates, t_valid, plane_map.features, plane_map.valid)
+
+
+def read_pose_volume(
+    volume: Array, index_rab: Array, floor_value: float = -1e9
+) -> Array:
+  """Trilinearly read the [R, A, B] pose volume at continuous (r, a, b).
+
+  The rotation axis wraps; -inf cells are floored so reads near masked
+  regions keep finite values and gradients.
+  """
+  num_rot = volume.shape[0]
+  volume = jnp.maximum(volume, floor_value)
+  r, ab = index_rab[..., 0], index_rab[..., 1:]
+  size = jnp.asarray(volume.shape[1:])
+  ab = jnp.clip(ab, 0, size - 1)
+  r0 = jnp.floor(r).astype(jnp.int32)
+  fr = r - r0
+  ab0 = jnp.floor(ab).astype(jnp.int32)
+  fab = ab - ab0
+  ab1 = jnp.minimum(ab0 + 1, size - 1)
+
+  def read(ri, ai, bi):
+    return volume[ri % num_rot, ai, bi]
+
+  out = 0.0
+  for dr, wr in ((r0, 1 - fr), (r0 + 1, fr)):
+    for da, wa in ((ab0[..., 0], 1 - fab[..., 0]), (ab1[..., 0], fab[..., 0])):
+      for db, wb in ((ab0[..., 1], 1 - fab[..., 1]),
+                     (ab1[..., 1], fab[..., 1])):
+        out = out + wr * wa * wb * read(dr, da, db)
+  return out
+
+
+def dense_refinement(
+    plane_q: types.FeaturePlane,
+    plane_map: types.FeaturePlane,
+    coarse_index: Array,
+    grid_q: grids.Grid2D,
+    num_rotations: int,
+    qgrid_p_q: Array,
+    delta_r_deg: float = 0.25,
+    range_r_deg: float = 5.0,
+    range_p_cells: int = 20,
+) -> Tuple[geometry.Transform2D, Array]:
+  """Dense local refinement around a coarse pose-volume index.
+
+  Builds a fan of finely rotated query templates around the coarse angle and
+  correlates them against a map window around the coarse translation — the
+  MXU-native equivalent of the reference's sampled grid refinement
+  (snap/models/pose_estimation.py:168-205: ±5° @0.25°, ±4 m @cell).
+
+  Returns the refined ``map_t_query`` and the [R_f, 2P+1, 2P+1] score volume.
+  """
+  hq, wq = grid_q.extent
+  h, w = plane_map.features.shape[:2]
+  # Fine template angles: template angle = -(map angle); coarse map angle is
+  # -r * 2pi / R.
+  coarse_r = coarse_index[0]
+  num_fine = int(round(2 * range_r_deg / delta_r_deg)) + 1
+  deltas = jnp.deg2rad(
+      jnp.linspace(-range_r_deg, range_r_deg, num_fine))
+  template_angles = coarse_r * (2 * jnp.pi / num_rotations) - deltas
+  templates, t_valid = sample_query_templates(
+      plane_q.features, plane_q.valid, template_angles, grid_q)
+
+  # Crop a window of the edge-padded map around the coarse offset such that
+  # VALID correlation yields offsets coarse + [-P, P].
+  p = range_p_cells
+  m_pad = jnp.pad(
+      plane_map.features,
+      ((hq - 1 + p,) * 2, (wq - 1 + p,) * 2, (0, 0)), mode='edge')
+  window = (hq + 2 * p, wq + 2 * p)
+  start_a = jnp.clip(coarse_index[1], 0, h + hq - 2)  # valid coarse range
+  start_b = jnp.clip(coarse_index[2], 0, w + wq - 2)
+  crop = jax.lax.dynamic_slice(
+      m_pad, (start_a, start_b, 0), (*window, m_pad.shape[-1]))
+
+  kernel = jnp.moveaxis(templates, 0, -1)  # [Hq, Wq, D, Rf]
+  scores = jax.lax.conv_general_dilated(
+      crop[None], kernel, (1, 1), 'VALID',
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+      preferred_element_type=jnp.float32,
+  )[0]  # [2P+1, 2P+1, Rf]
+  scores = jnp.moveaxis(scores, -1, 0)
+  scores = scores / jnp.sum(
+      t_valid, axis=(-1, -2))[:, None, None].clip(min=1)
+
+  flat_best = jnp.argmax(scores.reshape(-1))
+  fr, fa, fb = jnp.unravel_index(flat_best, scores.shape)
+  angle_map = -(template_angles[fr])
+  ab = jnp.stack([coarse_index[1] + fa - p, coarse_index[2] + fb - p])
+  tfm = offset_to_tfm(angle_map, ab.astype(jnp.float32), grid_q, qgrid_p_q)
+  return tfm, scores
+
+
+def offset_to_tfm(
+    angle: Array, ab_index: Array, grid_q: grids.Grid2D, qgrid_p_q: Array
+) -> geometry.Transform2D:
+  """(map angle, volume translation index) -> ``map_t_query`` transform."""
+  hq, wq = grid_q.extent
+  delta_m = (ab_index - jnp.asarray([hq - 1, wq - 1])) * grid_q.cell_size
+  c = jnp.asarray(grid_q.extent_meters) / 2
+  rot = geometry.Transform2D.from_radians(angle, jnp.zeros_like(delta_m))
+  t = delta_m + c - rot.transform(
+      jnp.broadcast_to(c, delta_m.shape)[..., None, :])[..., 0, :]
+  map_t_qgrid = geometry.Transform2D.from_radians(angle, t)
+  qgrid_t_q = geometry.Transform2D.from_radians(
+      jnp.zeros_like(angle),
+      jnp.broadcast_to(jnp.asarray(qgrid_p_q), delta_m.shape))
+  return map_t_qgrid @ qgrid_t_q
 
 
 def exhaustive_pose_voting_batched(
@@ -156,9 +321,9 @@ def exhaustive_pose_voting_batched(
     grid_q: grids.Grid2D,
     grid_map: grids.Grid2D,
     conf_q: Optional[Array] = None,
+    use_fft: bool = True,
 ) -> Array:
-  """Batched dense voting; query planes may be [B, N, 1, D] frustum layouts
-  only if they correspond to the full dense grid (asserted by size)."""
+  """Batched dense voting over [B] examples."""
   del grid_map
   b = plane_map.features.shape[0]
   hq, wq = grid_q.extent
@@ -168,8 +333,28 @@ def exhaustive_pose_voting_batched(
       lambda f, v, mf, mv: exhaustive_pose_voting(
           types.FeaturePlane(features=f, valid=v),
           types.FeaturePlane(features=mf, valid=mv),
-          num_rotations, grid_q)
+          num_rotations, grid_q, use_fft=use_fft)
   )(feats_q, valid_q, plane_map.features, plane_map.valid)
+
+
+def dense_refinement_batched(
+    plane_q: types.FeaturePlane,
+    plane_map: types.FeaturePlane,
+    coarse_index: Array,
+    grid_q: grids.Grid2D,
+    num_rotations: int,
+    qgrid_p_q: Array,
+) -> Tuple[geometry.Transform2D, Array]:
+  b = plane_map.features.shape[0]
+  hq, wq = grid_q.extent
+  feats_q = plane_q.features.reshape(b, hq, wq, -1)
+  valid_q = plane_q.valid.reshape(b, hq, wq)
+  return jax.vmap(
+      lambda f, v, mf, mv, ci: dense_refinement(
+          types.FeaturePlane(features=f, valid=v),
+          types.FeaturePlane(features=mf, valid=mv),
+          ci, grid_q, num_rotations, qgrid_p_q)
+  )(feats_q, valid_q, plane_map.features, plane_map.valid, coarse_index)
 
 
 def exhaustive_index_to_tfm(
@@ -189,18 +374,9 @@ def exhaustive_index_to_tfm(
   yields ``map_t_query``.
   """
   del grid_map
-  hq, wq = grid_q.extent
   angle = -index[..., 0] * 2 * jnp.pi / num_rotations
-  delta_m = (index[..., 1:] - jnp.asarray([hq - 1, wq - 1])) * grid_q.cell_size
-  c = jnp.asarray(grid_q.extent_meters) / 2
-  rot = geometry.Transform2D.from_radians(angle, jnp.zeros_like(delta_m))
-  t = delta_m + c - rot.transform(
-      jnp.broadcast_to(c, delta_m.shape)[..., None, :])[..., 0, :]
-  map_t_qgrid = geometry.Transform2D.from_radians(angle, t)
-  qgrid_t_q = geometry.Transform2D.from_radians(
-      jnp.zeros_like(angle),
-      jnp.broadcast_to(jnp.asarray(qgrid_p_q), delta_m.shape))
-  return map_t_qgrid @ qgrid_t_q
+  return offset_to_tfm(
+      angle, index[..., 1:].astype(jnp.float32), grid_q, qgrid_p_q)
 
 
 def exhaustive_index_to_tfm_batched(

@@ -370,14 +370,27 @@ def train(
   if lead_host and writer is not None and start_step == 0:
     writer.write_scalars(1, {'num_trainable_params': num_params})
 
+  # xprof: trace a few steady-state steps once after (re)start.
+  num_profile_steps = 5
+  profile_start = -1
+  if config.get('xprof', True) and (
+      start_step + 3 + num_profile_steps <= total_steps):
+    profile_start = start_step + 3
+
   logging.info('Starting training loop at step %d.', start_step + 1)
   for step in range(start_step + 1, total_steps + 1):
+    if lead_host and step == profile_start:
+      jax.profiler.start_trace(workdir)
     with jax.profiler.StepTraceAnnotation('train', step_num=step):
       batch = next(dataset.train_iter)
       batch.pop('_host', None)
       train_state, metrics, logs = train_step_jit(train_state, batch)
       train_metrics.append(metrics)
       extra_logs.append(logs)
+    if lead_host and profile_start > 0 and step == (
+        profile_start + num_profile_steps):
+      jax.block_until_ready(train_state.params)
+      jax.profiler.stop_trace()
 
     if (step % log_summary_steps == 0) or (step == total_steps):
       chrono.pause()

@@ -46,7 +46,8 @@ def test_lr_field_references_propagate():
 
 def test_parse_argument_string():
   args = defaults.parse_argument_string('image_encoder=R101')
-  assert args == {'image_encoder': 'R101', 'modalities': 'streetview+aerial'}
+  assert args == {'image_encoder': 'R101', 'modalities': 'streetview+aerial',
+                  'pose_backend': 'ransac'}
   with pytest.raises(ValueError):
     defaults.parse_argument_string('bogus=1')
 

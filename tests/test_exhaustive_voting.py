@@ -111,3 +111,63 @@ def test_localizer_exhaustive_backend():
   assert pred['map_t_query'].shape == (2,)
   losses, _ = model.loss_metrics_function(pred, batch, variables['params'])
   assert bool(jnp.isfinite(losses['total']).all())
+
+
+def test_fft_matches_direct_conv():
+  """FFT template matching reproduces the direct-conv scores."""
+  rng = np.random.default_rng(3)
+  q = jnp.asarray(rng.normal(size=(4, 8, 6, 5)), jnp.float32)
+  q_valid = jnp.asarray(rng.uniform(size=(4, 8, 6)) > 0.2)
+  m = jnp.asarray(rng.normal(size=(12, 10, 5)), jnp.float32)
+  m_valid = jnp.asarray(rng.uniform(size=(12, 10)) > 0.2)
+
+  direct = pev.template_matching(q, q_valid, m, m_valid, min_overlap=0.05)
+  fft = pev.template_matching_fft(q, q_valid, m, m_valid, min_overlap=0.05)
+  assert direct.shape == fft.shape == (4, 12 + 8 - 1, 10 + 6 - 1)
+  mask_d = np.isfinite(np.asarray(direct))
+  mask_f = np.isfinite(np.asarray(fft))
+  np.testing.assert_array_equal(mask_d, mask_f)
+  np.testing.assert_allclose(
+      np.asarray(fft)[mask_f], np.asarray(direct)[mask_d], atol=1e-3)
+
+
+def test_fft_matches_direct_conv_no_overlap_mask():
+  rng = np.random.default_rng(4)
+  q = jnp.asarray(rng.normal(size=(2, 6, 6, 3)), jnp.float32)
+  q_valid = jnp.ones((2, 6, 6), bool)
+  m = jnp.asarray(rng.normal(size=(9, 9, 3)), jnp.float32)
+  m_valid = jnp.ones((9, 9), bool)
+  direct = pev.template_matching(q, q_valid, m, m_valid, min_overlap=None)
+  fft = pev.template_matching_fft(q, q_valid, m, m_valid, min_overlap=None)
+  np.testing.assert_allclose(np.asarray(fft), np.asarray(direct), atol=1e-3)
+
+
+def test_dense_refinement_improves_angle():
+  """Refinement recovers a sub-bin rotation offset."""
+  rng = np.random.default_rng(5)
+  cell = 0.5
+  num_rot = 16  # 22.5 deg bins
+  grid = grids.Grid2D((16, 16), cell)
+  map_feats = jnp.asarray(rng.normal(size=(16, 16, 6)), jnp.float32)
+  valid = jnp.ones((16, 16), bool)
+
+  # Query built at template angle -true_angle: its content maps into the map
+  # under map_t_qgrid = rot(-true_angle) about the center, so the volume
+  # peaks near r_true = true_angle/bin and refinement should recover the
+  # 2 deg sub-bin offset (map angle = -true_angle).
+  true_angle = 2 * (2 * np.pi / num_rot) + np.deg2rad(2.0)
+  q_feats, q_valid = pev.sample_query_templates(
+      map_feats, valid, jnp.asarray([-true_angle]), grid)
+  plane_q = types.FeaturePlane(features=q_feats[0], valid=q_valid[0])
+  plane_m = types.FeaturePlane(features=map_feats, valid=valid)
+
+  volume = pev.exhaustive_pose_voting(plane_q, plane_m, num_rot, grid)
+  best = np.unravel_index(np.argmax(np.asarray(volume)), volume.shape)
+  tfm, fine = pev.dense_refinement(
+      plane_q, plane_m, jnp.asarray(best), grid, num_rot,
+      np.zeros(2), range_r_deg=12.0, delta_r_deg=0.25)
+  got_angle = float(np.asarray(tfm.angle)) % (2 * np.pi)
+  expected = (-true_angle) % (2 * np.pi)
+  err_deg = np.rad2deg(abs(got_angle - expected))
+  err_deg = min(err_deg, 360 - err_deg)
+  assert err_deg < 1.0, (np.rad2deg(expected), np.rad2deg(got_angle))
