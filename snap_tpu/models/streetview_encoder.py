@@ -95,9 +95,9 @@ class StreetViewEncoder(nn.Module):
     xyz_flat = xyz.reshape(xyz.shape[0], -1, 3)
 
     impl = self.config.get('pooling_impl') or 'gather'
-    if impl == 'scan' and self.config.depth_mlp is None:
+    if impl in ('scan', 'stream') and self.config.depth_mlp is None:
       return self._call_scan(
-          pred, f_images, cameras, scene_t_view, xyz, xyz_flat, train)
+          pred, f_images, cameras, scene_t_view, xyz, xyz_flat, train, impl)
 
     p2d_views, visible, depth, _rays = view_fusion.project_points_to_views(
         scene_t_view, cameras, xyz_flat
@@ -161,27 +161,29 @@ class StreetViewEncoder(nn.Module):
     return pred
 
   def _call_scan(
-      self, pred, f_images, cameras, scene_t_view, xyz, xyz_flat, train
+      self, pred, f_images, cameras, scene_t_view, xyz, xyz_flat, train,
+      impl: str = 'scan',
   ) -> base.Predictions:
-    """Fused per-view scan path (ops/view_scan.py): O(tile x D) memory."""
+    """Fused streaming paths (ops/view_scan.py): O(N x D) working set."""
     del train
     if self.config.do_weighted_fusion:
       f_maps, score_maps = jnp.split(
           f_images, [self.config.feature_dim], axis=-1)
     else:
       f_maps, score_maps = f_images, None
-    out = view_scan.pool_views_scan(
-        f_maps,
-        score_maps,
-        scene_t_view,
-        cameras,
-        xyz_flat,
+    kwargs = dict(
         top_k=self.config.top_k_view_selection or 0,
         depth_min_max=tuple(self.config.depth_min_max),
         add_minmax=self.config.fusion_add_minmax,
         use_variance=self.config.fusion_use_variance,
-        point_tile=self.config.get('point_tile') or 131072,
     )
+    if impl == 'stream':
+      out = view_scan.pool_views_stream(
+          f_maps, score_maps, scene_t_view, cameras, xyz_flat, **kwargs)
+    else:
+      out = view_scan.pool_views_scan(
+          f_maps, score_maps, scene_t_view, cameras, xyz_flat,
+          point_tile=self.config.get('point_tile') or 131072, **kwargs)
     valid = out.valid
     if self.config.get('max_view_distance') is not None:
       valid = valid & (out.min_distance <= self.config.max_view_distance)

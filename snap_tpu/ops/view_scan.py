@@ -234,6 +234,126 @@ def pool_views_scan_single(
   return ViewScanOutput(stats=stats, valid=valid, min_distance=min_dist)
 
 
+def pool_views_stream(
+    f_images: Array,
+    scores_images: Optional[Array],
+    scene_t_view: geometry.Transform3D,
+    camera: geometry.CameraND,
+    points: Array,
+    *,
+    top_k: int,
+    depth_min_max: Tuple[float, float],
+    add_minmax: bool,
+    use_variance: bool,
+) -> ViewScanOutput:
+  """Top-k streamed lifting: k row-gather passes with online pooling.
+
+  Combines the gather path's work bound (only the k selected views are read)
+  with the scan path's memory bound (no ``[N, K, D]`` tensor): after top-k
+  view selection, the k ranks are processed sequentially; each rank does 4
+  bilinear-tap *row* gathers of ``[N, D]`` from the flattened
+  ``[V*h*w, D]`` image stack (row gathers are the fast gather shape on TPU)
+  and updates online-softmax accumulators. Statistics layout matches
+  ops/view_fusion.pool_multiview_features.
+
+  Shapes: f_images [B, V, h, w, D]; scores_images [B, V, h, w, S] or None;
+  points [B, N, 3]. Returns stats [B, N, C], valid [B, N], min_dist [B, N].
+  """
+  from snap_tpu.ops import view_fusion  # local import to avoid cycle
+
+  b, v, h, w, dim = f_images.shape
+  n = points.shape[1]
+  weighted = scores_images is not None
+  acc = jnp.float32
+
+  p2d_all, vis_all, depth_all, _ = view_fusion.project_points_to_views(
+      scene_t_view, camera, points)
+  if top_k and v > top_k:
+    view_indices, min_dist = view_fusion.view_selection(
+        points, scene_t_view, vis_all, top_k)
+  else:
+    top_k = v
+    view_indices = jnp.broadcast_to(jnp.arange(v)[None, None], (b, n, v))
+    dist = jnp.linalg.norm(
+        points[..., None, :] - scene_t_view.t[..., None, :, :], axis=-1)
+    min_dist = jnp.min(jnp.where(vis_all, dist, jnp.inf), axis=-1)
+
+  images = (f_images if not weighted
+            else jnp.concatenate([f_images, scores_images], -1))
+  flat = images.reshape(b, v * h * w, images.shape[-1])
+
+  m = jnp.full((b, n), NEG_INF, acc)
+  l = jnp.zeros((b, n), acc)
+  s1 = jnp.zeros((b, n, dim), acc)
+  s2 = jnp.zeros((b, n, dim), acc)
+  f_min = jnp.full((b, n, dim), jnp.inf, acc)
+  f_max = jnp.full((b, n, dim), -jnp.inf, acc)
+  count = jnp.zeros((b, n), acc)
+
+  size = jnp.asarray([h, w], p2d_all.dtype)
+  for k in range(top_k):
+    idx_k = view_indices[..., k]  # [B, N]
+    take = lambda x: jnp.take_along_axis(
+        x, idx_k[..., None].reshape(b, n, 1, *(1,) * (x.ndim - 3)), axis=2
+    ).squeeze(2)
+    p2d = take(p2d_all)  # [B, N, 2]
+    select = take(vis_all)
+    depth = take(depth_all)
+
+    pts = jnp.clip(p2d - 0.5, 0, size - 1)
+    lower = jnp.floor(pts).astype(jnp.int32)
+    upper = jnp.minimum(lower + 1, jnp.asarray([h - 1, w - 1]))
+    frac = pts - lower
+    base = idx_k * (h * w)
+
+    f_k = None
+    for ci, wi in ((lower[..., 0], 1 - frac[..., 0]),
+                   (upper[..., 0], frac[..., 0])):
+      for cj, wj in ((lower[..., 1], 1 - frac[..., 1]),
+                     (upper[..., 1], frac[..., 1])):
+        rows = jnp.take_along_axis(
+            flat, (base + ci * w + cj)[..., None], axis=1)
+        contrib = (wi * wj)[..., None].astype(flat.dtype) * rows
+        f_k = contrib if f_k is None else f_k + contrib
+    f_k = f_k.astype(acc)
+    if weighted:
+      f_k, score_scales = f_k[..., :dim], f_k[..., dim:]
+      score = _interp_depth_score_1d(
+          score_scales.reshape(b * n, -1), depth.reshape(b * n),
+          depth_min_max).reshape(b, n)
+    else:
+      score = jnp.zeros((b, n), acc)
+    score = jnp.where(select, score, NEG_INF)
+
+    new_m = jnp.maximum(m, score)
+    safe_m = jnp.where(new_m <= NEG_INF, 0.0, new_m)
+    rescale = jnp.exp(jnp.where(m <= NEG_INF, NEG_INF, m) - safe_m)
+    wv = jnp.exp(score - safe_m) * select
+    m = new_m
+    l = l * rescale + wv
+    s1 = s1 * rescale[..., None] + wv[..., None] * f_k
+    s2 = s2 * rescale[..., None] + wv[..., None] * f_k * f_k
+    if add_minmax:
+      f_min = jnp.where(select[..., None], jnp.minimum(f_min, f_k), f_min)
+      f_max = jnp.where(select[..., None], jnp.maximum(f_max, f_k), f_max)
+    count = count + select
+
+  valid = count > 0
+  l_safe = jnp.maximum(l, 1e-20)
+  mean = s1 / l_safe[..., None]
+  var = jnp.maximum(s2 / l_safe[..., None] - mean * mean, 0.0)
+  stats = [mean]
+  if use_variance:
+    stats.append(var)
+  if add_minmax:
+    stats.append(jnp.where(valid[..., None], f_max, 0.0))
+    stats.append(jnp.where(valid[..., None], f_min, 0.0))
+  if weighted:
+    stats.append(jnp.where(valid, m, 0.0)[..., None])
+  stats = jnp.where(valid[..., None], jnp.concatenate(stats, -1), 0.0)
+  return ViewScanOutput(stats=stats, valid=valid, min_distance=min_dist)
+
+
 def pool_views_scan(
     f_images: Array,
     scores_images: Optional[Array],

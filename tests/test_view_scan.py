@@ -109,3 +109,30 @@ def test_scan_point_tiling_invariant():
       f_maps, None, tfm, cams, points, point_tile=8, **kwargs)
   np.testing.assert_array_equal(out_full.valid, out_tiled.valid)
   np.testing.assert_allclose(out_full.stats, out_tiled.stats, atol=1e-5)
+
+
+@pytest.mark.parametrize('weighted', [True, False])
+def test_stream_matches_gather(weighted):
+  rng = np.random.default_rng(7)
+  batch, num_views, h, w, dim, bins = 2, 5, 12, 16, 8, 4
+  tfm, cams = random_rig(rng, batch, num_views)
+  f_maps = jnp.asarray(
+      rng.normal(size=(batch, num_views, h, w, dim)), jnp.float32)
+  score_maps = (
+      jnp.asarray(rng.normal(size=(batch, num_views, h, w, bins)), jnp.float32)
+      if weighted else None)
+  points = jnp.asarray(
+      rng.uniform([0, 0, 0], [12, 16, 4], size=(batch, 60, 3)), jnp.float32)
+  depth_min_max = (1.0, 32.0)
+
+  stats_ref, valid_ref, min_dist_ref = gather_reference(
+      f_maps, score_maps, tfm, cams, points, 3, depth_min_max, False, True)
+  out = view_scan.pool_views_stream(
+      f_maps, score_maps, tfm, cams, points,
+      top_k=3, depth_min_max=depth_min_max, add_minmax=False,
+      use_variance=True)
+  np.testing.assert_array_equal(out.valid, valid_ref)
+  np.testing.assert_allclose(
+      np.asarray(out.min_distance)[np.asarray(valid_ref)],
+      np.asarray(min_dist_ref)[np.asarray(valid_ref)], atol=1e-4)
+  np.testing.assert_allclose(out.stats, stats_ref, atol=2e-3)
