@@ -88,12 +88,15 @@ def main():
   variables = jax.jit(
       lambda b: model.flax_model.init(rngs, b, train=False))(batch)
 
+  # Timing note: outputs are reduced to scalars and fetched with float() —
+  # through remote-execution tunnels block_until_ready does not reliably
+  # synchronize, so a host readback is the only honest fence.
   @jax.jit
   def localize(variables, batch):
     pred = model.flax_model.apply(
         variables, batch, train=False,
         rngs={'sampling': jax.random.PRNGKey(2)})
-    return pred['scores_poses'], pred['map_t_query'].t
+    return pred['scores_poses'].sum() + pred['map_t_query'].t.sum()
 
   @jax.jit
   def build_map(variables, batch):
@@ -101,24 +104,22 @@ def main():
         variables, batch['map'], train=False,
         rngs={'sampling': jax.random.PRNGKey(2)},
         method=lambda m, d, train: m.bev_mapper(d, train=train))
-    return pred['bev_matching'].features
+    return pred['bev_matching'].features.sum()
 
   batch = jax.device_put(batch)
 
   # Warmup / compile.
-  jax.block_until_ready(localize(variables, batch))
-  jax.block_until_ready(build_map(variables, batch))
+  float(localize(variables, batch))
+  float(build_map(variables, batch))
 
   t0 = time.perf_counter()
   for _ in range(NUM_ITERS):
-    out = localize(variables, batch)
-  jax.block_until_ready(out)
+    out = float(localize(variables, batch))
   dt_localize = (time.perf_counter() - t0) / NUM_ITERS
 
   t0 = time.perf_counter()
   for _ in range(NUM_ITERS):
-    maps = build_map(variables, batch)
-  jax.block_until_ready(maps)
+    maps = float(build_map(variables, batch))
   dt_map = (time.perf_counter() - t0) / NUM_ITERS
 
   queries_per_sec = BATCH_SIZE / dt_localize

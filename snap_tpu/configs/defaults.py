@@ -222,10 +222,12 @@ def streetview_encoder() -> config_dict.ConfigDict:
           fusion_use_variance=True,
           max_view_distance=config_dict.placeholder(float),
           pretrained_path=config_dict.placeholder(str),
-          # 'gather': reference-parity top-k gather ([N, K, D] working set);
-          # 'scan': fused per-view scan with online-softmax pooling
-          #         (O(point_tile x D) working set; TPU-preferred).
-          pooling_impl='scan',
+          # 'gather': reference-parity top-k gather ([N, K, D] working set;
+          #           OOMs at eval scale);
+          # 'scan': per-view scan, O(point_tile x D) memory, reads all views;
+          # 'stream': top-k streamed row gathers, O(N x D) memory, reads only
+          #           the k selected views (TPU-preferred).
+          pooling_impl='stream',
           point_tile=131072,
       )
   ).lock()

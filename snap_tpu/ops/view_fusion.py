@@ -80,8 +80,15 @@ def view_selection(
   dist = jnp.linalg.norm(diff, axis=-1)
   dist = jnp.where(vis, dist, jnp.inf)
   min_dist = jnp.min(dist, axis=-1)
-  _, indices = jax.lax.top_k(-dist, k=num)
-  return indices, min_dist
+  # k is tiny (4): k iterative masked argmins beat a full per-row sort.
+  indices = []
+  remaining = dist
+  for _ in range(num):
+    idx = jnp.argmin(remaining, axis=-1)
+    indices.append(idx)
+    remaining = jnp.where(
+        jax.nn.one_hot(idx, dist.shape[-1], dtype=bool), jnp.inf, remaining)
+  return jnp.stack(indices, axis=-1), min_dist
 
 
 def gather_observations(x: Array, indices: Array) -> Array:
@@ -173,17 +180,14 @@ def interpolate_depth_score(
   num_bins = score_scales.shape[-1]
   min_, max_ = depth_min_max
   depth = jnp.clip(depth, min_, max_)
-  t = jnp.log(depth / min_) / jnp.log(max_ / min_)
-  # Bin centers at half-integers: map [0, 1] to [0.5, num_bins - 0.5], then
-  # interpolate linearly between adjacent bins with clamped indices.
-  x = t * (num_bins - 1)
-  lower = jnp.floor(x).astype(jnp.int32)
-  upper = jnp.minimum(lower + 1, num_bins - 1)
-  frac = (x - lower).astype(score_scales.dtype)
-  v_lower = jnp.take_along_axis(score_scales, lower[..., None], axis=-1)
-  v_upper = jnp.take_along_axis(score_scales, upper[..., None], axis=-1)
-  return (v_lower * (1 - frac[..., None]) +
-          v_upper * frac[..., None]).squeeze(-1)
+  x = jnp.log(depth / min_) / jnp.log(max_ / min_) * (num_bins - 1)
+  x = jnp.clip(x, 0, num_bins - 1)
+  # Gather-free linear interpolation: hat-function weights over the bins
+  # and a dense dot (elementwise+reduce beats per-element gathers on TPU).
+  bins = jnp.arange(num_bins, dtype=score_scales.dtype)
+  w = jnp.maximum(
+      0, 1 - jnp.abs(x[..., None].astype(score_scales.dtype) - bins))
+  return jnp.sum(score_scales * w, axis=-1)
 
 
 @functools.partial(jax.checkpoint, static_argnums=(3, 4))

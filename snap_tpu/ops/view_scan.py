@@ -74,17 +74,20 @@ def _bilinear_read(image: Array, pts_ij: Array) -> Array:
 
 def _interp_depth_score_1d(scores: Array, depth: Array,
                            depth_min_max: Tuple[float, float]) -> Array:
-  """Per-point linear interpolation of [N, S] log-depth-bin scores."""
+  """Linear interpolation of [..., S] log-depth-bin scores, gather-free.
+
+  Uses a hat-function weight vector over the S bins and a dense dot — on TPU
+  a [.., S] elementwise+reduce is ~100x faster than per-element gathers.
+  """
   num_bins = scores.shape[-1]
   min_, max_ = depth_min_max
   depth = jnp.clip(depth, min_, max_)
   x = jnp.log(depth / min_) / jnp.log(max_ / min_) * (num_bins - 1)
-  lower = jnp.floor(x).astype(jnp.int32)
-  upper = jnp.minimum(lower + 1, num_bins - 1)
-  frac = (x - lower).astype(scores.dtype)
-  v_lo = jnp.take_along_axis(scores, lower[:, None], axis=-1)[:, 0]
-  v_hi = jnp.take_along_axis(scores, upper[:, None], axis=-1)[:, 0]
-  return v_lo * (1 - frac) + v_hi * frac
+  x = jnp.clip(x, 0, num_bins - 1)
+  bins = jnp.arange(num_bins, dtype=scores.dtype)
+  w = jnp.maximum(0, 1 - jnp.abs(x[..., None].astype(scores.dtype) - bins))
+  # Edge case x == num_bins - 1 exactly: weights sum to 1 by construction.
+  return jnp.sum(scores * w, axis=-1)
 
 
 def _view_threshold(
