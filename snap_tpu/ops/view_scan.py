@@ -237,6 +237,35 @@ def pool_views_scan_single(
   return ViewScanOutput(stats=stats, valid=valid, min_distance=min_dist)
 
 
+def gather_bilinear_patches(
+    images: Array, row0: Array, col0: Array
+) -> Array:
+  """Fetch [2, 2, D] bilinear tap patches with one gather.
+
+  Args:
+    images: ``[B, R, W, D]`` row-padded stack (caller guarantees
+      ``row0 <= R - 2`` and ``col0 <= W - 2``).
+    row0, col0: ``[B, N]`` int32 patch origins.
+
+  Returns:
+    ``[B, N, 2, 2, D]`` patches. One multi-dim slice gather replaces four
+    row gathers: fewer descriptors and 2x contiguity on the col axis.
+  """
+  b, r, w, d = images.shape
+  starts = jnp.stack([row0, col0], axis=-1)  # [B, N, 2]
+  dnums = jax.lax.GatherDimensionNumbers(
+      offset_dims=(2, 3, 4),
+      collapsed_slice_dims=(),
+      start_index_map=(1, 2),
+      operand_batching_dims=(0,),
+      start_indices_batching_dims=(0,),
+  )
+  return jax.lax.gather(
+      images, starts, dnums, slice_sizes=(1, 2, 2, d),
+      mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+  )
+
+
 def pool_views_stream(
     f_images: Array,
     scores_images: Optional[Array],
@@ -283,7 +312,10 @@ def pool_views_stream(
 
   images = (f_images if not weighted
             else jnp.concatenate([f_images, scores_images], -1))
-  flat = images.reshape(b, v * h * w, images.shape[-1])
+  # Pad one row/col so 2x2 tap patches never need clamping: the clamped
+  # bilinear coordinates guarantee the out-of-range tap weight is exactly 0.
+  padded = jnp.pad(images, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+  stack = padded.reshape(b, v * (h + 1), w + 1, padded.shape[-1])
 
   m = jnp.full((b, n), NEG_INF, acc)
   l = jnp.zeros((b, n), acc)
@@ -305,20 +337,14 @@ def pool_views_stream(
 
     pts = jnp.clip(p2d - 0.5, 0, size - 1)
     lower = jnp.floor(pts).astype(jnp.int32)
-    upper = jnp.minimum(lower + 1, jnp.asarray([h - 1, w - 1]))
-    frac = pts - lower
-    base = idx_k * (h * w)
+    frac = (pts - lower).astype(stack.dtype)
 
-    f_k = None
-    for ci, wi in ((lower[..., 0], 1 - frac[..., 0]),
-                   (upper[..., 0], frac[..., 0])):
-      for cj, wj in ((lower[..., 1], 1 - frac[..., 1]),
-                     (upper[..., 1], frac[..., 1])):
-        rows = jnp.take_along_axis(
-            flat, (base + ci * w + cj)[..., None], axis=1)
-        contrib = (wi * wj)[..., None].astype(flat.dtype) * rows
-        f_k = contrib if f_k is None else f_k + contrib
-    f_k = f_k.astype(acc)
+    patches = gather_bilinear_patches(
+        stack, idx_k * (h + 1) + lower[..., 0], lower[..., 1])
+    w_i = jnp.stack([1 - frac[..., 0], frac[..., 0]], -1)  # [B, N, 2]
+    w_j = jnp.stack([1 - frac[..., 1], frac[..., 1]], -1)
+    weights = w_i[..., :, None] * w_j[..., None, :]  # [B, N, 2, 2]
+    f_k = jnp.einsum('bnij,bnijd->bnd', weights, patches).astype(acc)
     if weighted:
       f_k, score_scales = f_k[..., :dim], f_k[..., dim:]
       score = _interp_depth_score_1d(
