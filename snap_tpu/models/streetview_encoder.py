@@ -178,8 +178,12 @@ class StreetViewEncoder(nn.Module):
         use_variance=self.config.fusion_use_variance,
     )
     if impl == 'stream':
-      out = view_scan.pool_views_stream(
-          f_maps, score_maps, scene_t_view, cameras, xyz_flat, **kwargs)
+      # Rematerialize the lifting: the gather/accumulate intermediates are
+      # recomputed in the backward pass instead of persisting in HBM.
+      lift = jax.checkpoint(
+          lambda fm, sm, tfm, cam, pts: view_scan.pool_views_stream(
+              fm, sm, tfm, cam, pts, **kwargs))
+      out = lift(f_maps, score_maps, scene_t_view, cameras, xyz_flat)
     else:
       out = view_scan.pool_views_scan(
           f_maps, score_maps, scene_t_view, cameras, xyz_flat,

@@ -237,6 +237,49 @@ def pool_views_scan_single(
   return ViewScanOutput(stats=stats, valid=valid, min_distance=min_dist)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_patch_gather(shape: Tuple[int, ...], dtype_name: str):
+  """custom_vjp patch gather specialized to an image-stack shape/dtype."""
+  b, r, w, d = shape
+  dtype = jnp.dtype(dtype_name)
+
+  def impl(images, row0, col0):
+    starts = jnp.stack([row0, col0], axis=-1)  # [B, N, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        images, starts, dnums, slice_sizes=(1, 2, 2, d),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+  @jax.custom_vjp
+  def fn(images, row0, col0):
+    return impl(images, row0, col0)
+
+  def fwd(images, row0, col0):
+    return impl(images, row0, col0), (row0, col0)
+
+  def bwd(res, g):
+    row0, col0 = res
+    # Flat pixel ids of the 4 taps, (point, tap) order matching g's layout
+    # [B, N, 2, 2, D] -> [B, 4N, D].
+    rows = jnp.stack([row0, row0, row0 + 1, row0 + 1], -1)
+    cols = jnp.stack([col0, col0 + 1, col0, col0 + 1], -1)
+    ids = (rows * w + cols).reshape(b, -1)
+    g_taps = g.astype(jnp.float32).reshape(b, -1, d)
+    grad = jnp.zeros((b, r * w, d), jnp.float32)
+    grad = jax.vmap(lambda acc, i, v: acc.at[i].add(v))(grad, ids, g_taps)
+    return grad.reshape(b, r, w, d).astype(dtype), None, None
+
+  fn.defvjp(fwd, bwd)
+  return fn
+
+
 def gather_bilinear_patches(
     images: Array, row0: Array, col0: Array
 ) -> Array:
@@ -250,20 +293,13 @@ def gather_bilinear_patches(
   Returns:
     ``[B, N, 2, 2, D]`` patches. One multi-dim slice gather replaces four
     row gathers: fewer descriptors and 2x contiguity on the col axis.
+
+  Custom VJP: XLA's transpose of a windowed gather is a windowed scatter,
+  which serializes on TPU; the backward scatter-adds the four taps as flat
+  pixel *rows* instead.
   """
-  b, r, w, d = images.shape
-  starts = jnp.stack([row0, col0], axis=-1)  # [B, N, 2]
-  dnums = jax.lax.GatherDimensionNumbers(
-      offset_dims=(2, 3, 4),
-      collapsed_slice_dims=(),
-      start_index_map=(1, 2),
-      operand_batching_dims=(0,),
-      start_indices_batching_dims=(0,),
-  )
-  return jax.lax.gather(
-      images, starts, dnums, slice_sizes=(1, 2, 2, d),
-      mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-  )
+  return _make_patch_gather(tuple(images.shape), images.dtype.name)(
+      images, row0, col0)
 
 
 def pool_views_stream(
@@ -380,7 +416,10 @@ def pool_views_stream(
   if weighted:
     stats.append(jnp.where(valid, m, 0.0)[..., None])
   stats = jnp.where(valid[..., None], jnp.concatenate(stats, -1), 0.0)
-  return ViewScanOutput(stats=stats, valid=valid, min_distance=min_dist)
+  # Return stats in the feature dtype: the [N, C] stats tensor is a saved
+  # residual under remat and must not persist in f32.
+  return ViewScanOutput(
+      stats=stats.astype(f_images.dtype), valid=valid, min_distance=min_dist)
 
 
 def pool_views_scan(

@@ -136,3 +136,32 @@ def test_stream_matches_gather(weighted):
       np.asarray(out.min_distance)[np.asarray(valid_ref)],
       np.asarray(min_dist_ref)[np.asarray(valid_ref)], atol=1e-4)
   np.testing.assert_allclose(out.stats, stats_ref, atol=2e-3)
+
+
+def test_patch_gather_custom_vjp():
+  """The flat-row-scatter backward matches the autodiff of a reference."""
+  rng = np.random.default_rng(9)
+  b, r, w, d, n = 2, 10, 7, 5, 13
+  images = jnp.asarray(rng.normal(size=(b, r, w, d)), jnp.float32)
+  row0 = jnp.asarray(rng.integers(0, r - 1, size=(b, n)), jnp.int32)
+  col0 = jnp.asarray(rng.integers(0, w - 1, size=(b, n)), jnp.int32)
+
+  def reference(images):
+    out = []
+    for di in range(2):
+      for dj in range(2):
+        idx = (row0 + di) * w + (col0 + dj)
+        flat = images.reshape(b, r * w, d)
+        out.append(jnp.take_along_axis(flat, idx[..., None], axis=1))
+    out = jnp.stack(out, 2).reshape(b, n, 2, 2, d)
+    return out
+
+  fwd = view_scan.gather_bilinear_patches(images, row0, col0)
+  np.testing.assert_allclose(fwd, reference(images), atol=1e-6)
+
+  cotangent = jnp.asarray(rng.normal(size=fwd.shape), jnp.float32)
+  grad_custom = jax.grad(
+      lambda im: (view_scan.gather_bilinear_patches(im, row0, col0)
+                  * cotangent).sum())(images)
+  grad_ref = jax.grad(lambda im: (reference(im) * cotangent).sum())(images)
+  np.testing.assert_allclose(grad_custom, grad_ref, atol=1e-5)
