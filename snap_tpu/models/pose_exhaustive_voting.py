@@ -132,6 +132,23 @@ def template_matching(
   return scores
 
 
+def _next_fast_len(n: int) -> int:
+  """Smallest 5-smooth (2^a 3^b 5^c) size >= n: FFT stays off the Bluestein
+  slow path (e.g. 477 = 3^2 x 53 is ~10x slower than 480)."""
+  best = 1 << (n - 1).bit_length()
+  p3 = 1
+  while p3 < best:
+    p5 = p3
+    while p5 < best:
+      p2 = p5
+      while p2 < n:
+        p2 *= 2
+      best = min(best, p2)
+      p5 *= 5
+    p3 *= 3
+  return best
+
+
 def template_matching_fft(
     q: Array,
     q_valid: Array,
@@ -152,8 +169,8 @@ def template_matching_fft(
   out_h, out_w = h + hq - 1, w + wq - 1
   m_pad = jnp.pad(m, ((hq - 1,) * 2, (wq - 1,) * 2, (0, 0)), mode='edge')
   big_h, big_w = m_pad.shape[:2]
-  fft_h = big_h + hq - 1
-  fft_w = big_w + wq - 1
+  fft_h = _next_fast_len(big_h + hq - 1)
+  fft_w = _next_fast_len(big_w + wq - 1)
 
   mf = jnp.fft.rfft2(m_pad.astype(jnp.float32), s=(fft_h, fft_w), axes=(0, 1))
   qf = jnp.fft.rfft2(q.astype(jnp.float32), s=(fft_h, fft_w), axes=(1, 2))
