@@ -59,10 +59,14 @@ class TextureParams:
   amps: np.ndarray  # [C, K]
 
   @classmethod
-  def sample(cls, rng: np.random.Generator, num_components: int = 12,
+  def sample(cls, rng: np.random.Generator, num_components: int = 24,
              num_channels: int = 3) -> 'TextureParams':
-    freqs = rng.uniform(
-        -2.0, 2.0, size=(num_channels, num_components, 2))
+    # Mix coarse layout frequencies with fine detail (wavelengths down to
+    # ~1 m) so locations are visually distinctive at the 0.2 m map scale —
+    # the self-supervised matching task needs local texture identity.
+    coarse = rng.uniform(-1.5, 1.5, size=(num_channels, num_components // 2, 2))
+    fine = rng.uniform(-6.0, 6.0, size=(num_channels, num_components // 2, 2))
+    freqs = np.concatenate([coarse, fine], axis=1)
     phases = rng.uniform(0, 2 * np.pi, size=(num_channels, num_components))
     amps = rng.normal(size=(num_channels, num_components))
     amps /= np.abs(amps).sum(-1, keepdims=True)

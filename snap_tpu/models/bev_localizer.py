@@ -135,6 +135,17 @@ class BEVLocalizer(nn.Module):
     f_p_q = plane_q.features.reshape(batch_size, -1,
                                      plane_q.features.shape[-1])
 
+    m_t_q_gt = data.get('T_query2map')
+    if m_t_q_gt is not None and isinstance(m_t_q_gt, geometry.Transform3D):
+      m_t_q_gt = geometry.Transform2D.from_Transform3D(m_t_q_gt)
+
+    if self.config.pose_backend == 'exhaustive':
+      # The dense backend never materializes the [N, H, W] point-similarity
+      # volume: correlation happens inside the FFT voting.
+      pred.update(self._poses_exhaustive(
+          pred, plane_q, plane_map, m_t_q_gt))
+      return pred  # dense refinement handled inside; no sampled refinement
+
     # Dense point-vs-map similarity: one big MXU contraction.
     sim_points = jnp.einsum(
         '...nd,...ijd->...nij', f_p_q, plane_map.features)
@@ -156,14 +167,6 @@ class BEVLocalizer(nn.Module):
       sim_points /= num_valid
       prob_points /= num_valid
 
-    m_t_q_gt = data.get('T_query2map')
-    if m_t_q_gt is not None and isinstance(m_t_q_gt, geometry.Transform3D):
-      m_t_q_gt = geometry.Transform2D.from_Transform3D(m_t_q_gt)
-
-    if self.config.pose_backend == 'exhaustive':
-      pred.update(self._poses_exhaustive(
-          pred, plane_q, plane_map, m_t_q_gt))
-      return pred  # dense refinement handled inside; no sampled refinement
     pred.update(self._poses_ransac(
         sim_points, prob_points, q_xy_p, valid_points, plane_map,
         m_t_q_gt, rng_poses))
@@ -233,8 +236,15 @@ class BEVLocalizer(nn.Module):
     """
     out = {}
     num_rot = self.config.num_rotations
-    volume = pose_exhaustive_voting.exhaustive_pose_voting_batched(
-        plane_q, plane_map, num_rot, self.grid_query, self.grid_map)
+    volume, volume_raw = pose_exhaustive_voting.exhaustive_pose_voting_batched(
+        plane_q, plane_map, num_rot, self.grid_query, self.grid_map,
+        return_raw=True)
+    if self.config.add_temperature:
+      # The dense scores are mean similarities in ~[-1, 1]; the learned
+      # temperature sets the InfoNCE sharpness like in the sampled path.
+      scale = jnp.exp(self.temperature)
+      volume = volume * scale
+      volume_raw = volume_raw * scale
     out['scores_pose_volume'] = volume
     b = volume.shape[0]
     flat = volume.reshape(b, -1)
@@ -251,6 +261,8 @@ class BEVLocalizer(nn.Module):
           pose_exhaustive_voting.dense_refinement_batched(
               plane_q, plane_map, best_idx, self.grid_query, num_rot,
               self.qgrid_p_q))
+      if self.config.add_temperature:
+        fine_scores = fine_scores * jnp.exp(self.temperature)
       out['scores_grid_refine'] = fine_scores
       best_score = jnp.max(fine_scores.reshape(b, -1), axis=-1)
     else:
@@ -261,8 +273,10 @@ class BEVLocalizer(nn.Module):
     if m_t_q_gt is not None:
       gt_idx = pose_exhaustive_voting.exhaustive_tfm_to_index(
           m_t_q_gt, self.grid_query, num_rot, self.qgrid_p_q)
+      # Read the GT from the *unmasked* volume: a GT pose adjacent to an
+      # overlap-masked cell must not inherit its -inf.
       gt_score = jax.vmap(pose_exhaustive_voting.read_pose_volume)(
-          volume, gt_idx)
+          volume_raw, gt_idx)
       out['scores_poses'] = jnp.stack([gt_score, best_score], axis=-1)
       out['map_t_query_samples'] = jax.tree_util.tree_map(
           lambda *x: jnp.stack(x, 1), m_t_q_gt, m_t_q_best)

@@ -155,6 +155,7 @@ def template_matching_fft(
     m: Array,
     m_valid: Array,
     min_overlap: Optional[float] = 0.05,
+    return_raw: bool = False,
 ) -> Array:
   """FFT-based equivalent of ``template_matching``.
 
@@ -192,9 +193,15 @@ def template_matching_fft(
     )[:, :out_h, :out_w]
     num_valid = jnp.round(num_valid)  # counts are integers up to fp noise
     threshold = min_overlap * math.prod(q_valid.shape[-2:])
+    if return_raw:
+      norm = q_valid.sum((-1, -2), keepdims=True).clip(min=1)
+      raw = scores / norm
+      return jnp.where(num_valid > threshold, raw, -jnp.inf), raw
     scores = jnp.where(num_valid > threshold, scores, -jnp.inf)
 
   scores /= q_valid.sum((-1, -2), keepdims=True).clip(min=1)
+  if return_raw:
+    return scores, scores
   return scores
 
 
@@ -205,11 +212,15 @@ def exhaustive_pose_voting(
     grid_q: grids.Grid2D,
     conf_q: Optional[Array] = None,
     use_fft: bool = True,
+    return_raw: bool = False,
 ) -> Array:
   """Vote over the dense (rotation, translation) pose volume.
 
   ``plane_q`` must be a dense BEV on ``grid_q`` (the exhaustive backend
-  requires ``filter_points_in_fov=False``).
+  requires ``filter_points_in_fov=False``). With ``return_raw`` also returns
+  the volume without the overlap mask (finite everywhere) — used for reading
+  scores at arbitrary poses (e.g. the GT), where a masked -inf would poison
+  the loss.
   """
   feats_q = plane_q.features
   if conf_q is not None:
@@ -217,8 +228,13 @@ def exhaustive_pose_voting(
   templates, t_valid = sample_query_templates(
       feats_q, plane_q.valid, num_rotations, grid_q
   )
-  matcher = template_matching_fft if use_fft else template_matching
-  return matcher(templates, t_valid, plane_map.features, plane_map.valid)
+  if use_fft:
+    return template_matching_fft(
+        templates, t_valid, plane_map.features, plane_map.valid,
+        return_raw=return_raw)
+  out = template_matching(
+      templates, t_valid, plane_map.features, plane_map.valid)
+  return (out, out) if return_raw else out
 
 
 def read_pose_volume(
@@ -339,6 +355,7 @@ def exhaustive_pose_voting_batched(
     grid_map: grids.Grid2D,
     conf_q: Optional[Array] = None,
     use_fft: bool = True,
+    return_raw: bool = False,
 ) -> Array:
   """Batched dense voting over [B] examples."""
   del grid_map
@@ -350,7 +367,7 @@ def exhaustive_pose_voting_batched(
       lambda f, v, mf, mv: exhaustive_pose_voting(
           types.FeaturePlane(features=f, valid=v),
           types.FeaturePlane(features=mf, valid=mv),
-          num_rotations, grid_q, use_fft=use_fft)
+          num_rotations, grid_q, use_fft=use_fft, return_raw=return_raw)
   )(feats_q, valid_q, plane_map.features, plane_map.valid)
 
 
