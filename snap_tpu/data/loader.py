@@ -92,7 +92,12 @@ def split_host_data(batch: DataDict) -> tuple[DataDict, DataDict]:
 
 
 class _PrefetchIterator:
-  """Background thread building batches; double-buffered device placement."""
+  """Worker threads building batches in order; buffered device placement.
+
+  ``num_workers`` threads build batches concurrently (example generation is
+  numpy-bound); completed batches are emitted strictly in index order so
+  training data order stays deterministic.
+  """
 
   def __init__(
       self,
@@ -101,32 +106,51 @@ class _PrefetchIterator:
       sharding: Optional[jax.sharding.Sharding],
       buffer_size: int = 2,
       start_index: int = 0,
+      num_workers: int = 2,
   ):
     self._make_batch = make_batch
     self._num_batches = num_batches
     self._sharding = sharding
-    self._queue: queue_lib.Queue = queue_lib.Queue(maxsize=buffer_size)
-    self._index = start_index
-    self._thread = threading.Thread(target=self._worker, daemon=True)
-    self._thread.start()
+    self._buffer_size = max(buffer_size, num_workers)
+    self._results: Dict[int, Any] = {}
+    self._lock = threading.Lock()
+    self._ready = threading.Condition(self._lock)
+    self._next_to_build = start_index
+    self._next_to_emit = start_index
+    for _ in range(max(1, num_workers)):
+      threading.Thread(target=self._worker, daemon=True).start()
+
+  def _wrap(self, i: int) -> int:
+    # Eval iterators repeat after a full pass over their fixed batch count.
+    return i if self._num_batches is None else i % self._num_batches
 
   def _worker(self):
-    i = self._index
     while True:
-      if self._num_batches is not None and i >= self._num_batches:
-        i = 0  # eval iterators repeat after a full pass
-      batch = self._make_batch(i)
+      with self._lock:
+        # Backpressure: don't run ahead of the consumer by > buffer_size.
+        while self._next_to_build - self._next_to_emit >= self._buffer_size:
+          self._ready.wait(timeout=0.1)
+        i = self._next_to_build
+        self._next_to_build += 1
+      batch = self._make_batch(self._wrap(i))
       device_batch, host = split_host_data(batch)
       if self._sharding is not None:
         device_batch = jax.device_put(device_batch, self._sharding)
-      self._queue.put((device_batch, host))
-      i += 1
+      with self._lock:
+        self._results[i] = (device_batch, host)
+        self._ready.notify_all()
 
   def __iter__(self):
     return self
 
   def __next__(self) -> DataDict:
-    device_batch, host = self._queue.get()
+    with self._lock:
+      while self._next_to_emit not in self._results:
+        self._ready.wait()
+      device_batch, host = self._results.pop(self._next_to_emit)
+      self._next_to_emit += 1
+      self._ready.notify_all()
+    device_batch = dict(device_batch)
     device_batch['_host'] = host
     return device_batch
 
@@ -229,12 +253,14 @@ def get_dataset(
   evaluation_size = int(dataset_configs.evaluation_size or 1024)
   num_eval_batches = -(-evaluation_size // eval_batch_size)
 
+  num_workers = int(dataset_configs.get('num_workers') or 2)
   train_iter = _PrefetchIterator(
       functools.partial(make_batch, train_gen, batch_size, True, None),
       num_batches=None,
       sharding=sharding,
       buffer_size=int(dataset_configs.get('prefetch_buffer_size') or 2),
       start_index=start_step,
+      num_workers=num_workers,
   )
   eval_iter = _PrefetchIterator(
       functools.partial(
@@ -242,6 +268,7 @@ def get_dataset(
       num_batches=num_eval_batches,
       sharding=sharding,
       buffer_size=2,
+      num_workers=num_workers,
   )
 
   grid_size_meters = scene_config.grid_size

@@ -1,0 +1,95 @@
+"""Tests for viz utilities and evaluator helpers."""
+
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+from ml_collections import config_dict
+
+from snap_tpu import evaluator
+from snap_tpu.utils import grids
+from snap_tpu.viz import bev as viz_bev
+from snap_tpu.viz import image as viz_image
+
+
+class TestRasterizePointcloud:
+
+  def test_mean_reduce(self):
+    grid = grids.Grid2D((4, 4), 1.0)
+    xy = np.array([[0.5, 0.5], [0.6, 0.7], [3.5, 3.5]])
+    values = np.array([[1.0], [3.0], [10.0]])
+    raster, count = viz_bev.rasterize_pointcloud(xy, values, grid)
+    assert raster.shape == (4, 4, 1)
+    np.testing.assert_allclose(raster[0, 0, 0], 2.0)
+    np.testing.assert_allclose(raster[3, 3, 0], 10.0)
+    assert count[0, 0] == 2 and count[3, 3] == 1
+
+  def test_out_of_grid_points_dropped(self):
+    grid = grids.Grid2D((2, 2), 1.0)
+    xy = np.array([[-1.0, 0.0], [5.0, 5.0], [0.5, 0.5]])
+    values = np.ones((3, 1))
+    _, count = viz_bev.rasterize_pointcloud(xy, values, grid)
+    assert count.sum() == 1
+
+
+class TestFeaturePCA:
+
+  def test_rgb_range_and_shape(self):
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(16, 16, 8))
+    rgb = viz_image.features_to_rgb(feats)[0]
+    assert rgb.shape == (16, 16, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+
+  def test_save_load_roundtrip(self, tmp_path):
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(100, 8))
+    pca = viz_image.FeaturePCA().fit(feats)
+    path = str(tmp_path / 'pca.pkl')
+    pca.save(path)
+    pca2 = viz_image.FeaturePCA.load(path)
+    np.testing.assert_allclose(pca(feats), pca2(feats))
+
+  def test_shared_color_space(self):
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(10, 10, 6))
+    b = rng.normal(size=(4, 4, 6))
+    rgb_a, rgb_b = viz_image.features_to_rgb(a, b)
+    assert rgb_a.shape == (10, 10, 3) and rgb_b.shape == (4, 4, 3)
+
+
+class TestEvaluatorHelpers:
+
+  def test_compute_recall(self):
+    errors = np.array([0.1, 0.5, 1.5, 10.0])
+    thresholds, recall = evaluator.compute_recall(errors, max_error=2.0)
+    assert len(thresholds) == 100 and len(recall) == 100
+    assert recall[0] == 0.0
+    # At the top threshold (2.0), 3 of 4 errors are below.
+    assert recall[-1] == 75.0
+
+  def test_eval_dump_roundtrip(self, tmp_path):
+    results = {'err': np.array([1.0, 2.0]), 'id': np.array(['a', 'b'])}
+    config = config_dict.ConfigDict({'x': 1})
+    evaluator.write_eval_dump(pathlib.Path(tmp_path), results, config)
+    loaded, loaded_config = evaluator.read_eval_dump(pathlib.Path(tmp_path))
+    np.testing.assert_allclose(loaded['err'], results['err'])
+    assert loaded_config.x == 1
+
+  def test_cities_splits(self):
+    assert 'osaka' in evaluator.CITIES_SPLITS['test']
+    assert 'seattle' in evaluator.CITIES_SPLITS['test']  # upstream typo fixed
+
+
+def test_loader_multiworker_order():
+  """Batches arrive in deterministic index order with multiple workers."""
+  import helpers
+  ds = helpers.tiny_dataset(batch_size=1, num_workers=3)
+  ids = []
+  for _ in range(4):
+    b = next(ds.train_iter)
+    ids.append(str(b['_host']['map/scene_id'][0]))
+  ds2 = helpers.tiny_dataset(batch_size=1, num_workers=1)
+  ids2 = [str(next(ds2.train_iter)['_host']['map/scene_id'][0])
+          for _ in range(4)]
+  assert ids == ids2
