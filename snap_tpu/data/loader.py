@@ -113,6 +113,7 @@ class _PrefetchIterator:
     self._sharding = sharding
     self._buffer_size = max(buffer_size, num_workers)
     self._results: Dict[int, Any] = {}
+    self._error: Optional[BaseException] = None
     self._lock = threading.Lock()
     self._ready = threading.Condition(self._lock)
     self._next_to_build = start_index
@@ -125,19 +126,26 @@ class _PrefetchIterator:
     return i if self._num_batches is None else i % self._num_batches
 
   def _worker(self):
-    while True:
+    try:
+      while True:
+        with self._lock:
+          if self._error is not None:
+            return
+          # Backpressure: don't run ahead of the consumer by > buffer_size.
+          while self._next_to_build - self._next_to_emit >= self._buffer_size:
+            self._ready.wait(timeout=0.1)
+          i = self._next_to_build
+          self._next_to_build += 1
+        batch = self._make_batch(self._wrap(i))
+        device_batch, host = split_host_data(batch)
+        if self._sharding is not None:
+          device_batch = jax.device_put(device_batch, self._sharding)
+        with self._lock:
+          self._results[i] = (device_batch, host)
+          self._ready.notify_all()
+    except BaseException as e:  # pylint: disable=broad-except
       with self._lock:
-        # Backpressure: don't run ahead of the consumer by > buffer_size.
-        while self._next_to_build - self._next_to_emit >= self._buffer_size:
-          self._ready.wait(timeout=0.1)
-        i = self._next_to_build
-        self._next_to_build += 1
-      batch = self._make_batch(self._wrap(i))
-      device_batch, host = split_host_data(batch)
-      if self._sharding is not None:
-        device_batch = jax.device_put(device_batch, self._sharding)
-      with self._lock:
-        self._results[i] = (device_batch, host)
+        self._error = e
         self._ready.notify_all()
 
   def __iter__(self):
@@ -146,7 +154,9 @@ class _PrefetchIterator:
   def __next__(self) -> DataDict:
     with self._lock:
       while self._next_to_emit not in self._results:
-        self._ready.wait()
+        if self._error is not None:
+          raise RuntimeError('Data pipeline worker failed') from self._error
+        self._ready.wait(timeout=1.0)
       device_batch, host = self._results.pop(self._next_to_emit)
       self._next_to_emit += 1
       self._ready.notify_all()

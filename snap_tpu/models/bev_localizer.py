@@ -236,9 +236,15 @@ class BEVLocalizer(nn.Module):
     """
     out = {}
     num_rot = self.config.num_rotations
+    conf_q = None
+    if self.config.add_confidence_query:
+      # Per-cell confidence weights the query template features
+      # (log-sigmoid scores -> probabilities), mirroring the sampled path's
+      # confidence weighting of per-point scores.
+      conf_q = jnp.exp(pred['query']['bev_confidence'])
     volume, volume_raw = pose_exhaustive_voting.exhaustive_pose_voting_batched(
         plane_q, plane_map, num_rot, self.grid_query, self.grid_map,
-        return_raw=True)
+        conf_q=conf_q, return_raw=True)
     if self.config.add_temperature:
       # The dense scores are mean similarities in ~[-1, 1]; the learned
       # temperature sets the InfoNCE sharpness like in the sampled path.

@@ -84,6 +84,7 @@ def template_matching(
     m: Array,
     m_valid: Array,
     min_overlap: Optional[float] = 0.05,
+    return_raw: bool = False,
 ) -> Array:
   """Correlate R rotated templates against a map over all translations.
 
@@ -126,9 +127,15 @@ def template_matching(
     )[0]
     num_valid = jnp.moveaxis(num_valid, -1, 0)
     threshold = min_overlap * math.prod(q_valid.shape[-2:])
+    if return_raw:
+      norm = q_valid.sum((-1, -2), keepdims=True).clip(min=1)
+      raw = scores / norm
+      return jnp.where(num_valid > threshold, raw, -jnp.inf), raw
     scores = jnp.where(num_valid > threshold, scores, -jnp.inf)
 
   scores /= q_valid.sum((-1, -2), keepdims=True).clip(min=1)
+  if return_raw:
+    return scores, scores
   return scores
 
 
@@ -228,13 +235,10 @@ def exhaustive_pose_voting(
   templates, t_valid = sample_query_templates(
       feats_q, plane_q.valid, num_rotations, grid_q
   )
-  if use_fft:
-    return template_matching_fft(
-        templates, t_valid, plane_map.features, plane_map.valid,
-        return_raw=return_raw)
-  out = template_matching(
-      templates, t_valid, plane_map.features, plane_map.valid)
-  return (out, out) if return_raw else out
+  matcher = template_matching_fft if use_fft else template_matching
+  return matcher(
+      templates, t_valid, plane_map.features, plane_map.valid,
+      return_raw=return_raw)
 
 
 def read_pose_volume(
@@ -363,12 +367,21 @@ def exhaustive_pose_voting_batched(
   hq, wq = grid_q.extent
   feats_q = plane_q.features.reshape(b, hq, wq, -1)
   valid_q = plane_q.valid.reshape(b, hq, wq)
+  if conf_q is None:
+    return jax.vmap(
+        lambda f, v, mf, mv: exhaustive_pose_voting(
+            types.FeaturePlane(features=f, valid=v),
+            types.FeaturePlane(features=mf, valid=mv),
+            num_rotations, grid_q, use_fft=use_fft, return_raw=return_raw)
+    )(feats_q, valid_q, plane_map.features, plane_map.valid)
+  conf_q = conf_q.reshape(b, hq, wq)
   return jax.vmap(
-      lambda f, v, mf, mv: exhaustive_pose_voting(
+      lambda f, v, mf, mv, c: exhaustive_pose_voting(
           types.FeaturePlane(features=f, valid=v),
           types.FeaturePlane(features=mf, valid=mv),
-          num_rotations, grid_q, use_fft=use_fft, return_raw=return_raw)
-  )(feats_q, valid_q, plane_map.features, plane_map.valid)
+          num_rotations, grid_q, conf_q=c, use_fft=use_fft,
+          return_raw=return_raw)
+  )(feats_q, valid_q, plane_map.features, plane_map.valid, conf_q)
 
 
 def dense_refinement_batched(

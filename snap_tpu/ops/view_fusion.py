@@ -78,16 +78,22 @@ def view_selection(
   """
   diff = points[..., None, :] - scene_t_view.t[..., None, :, :]  # B,N,V,3
   dist = jnp.linalg.norm(diff, axis=-1)
-  dist = jnp.where(vis, dist, jnp.inf)
-  min_dist = jnp.min(dist, axis=-1)
+  min_dist = jnp.min(jnp.where(vis, dist, jnp.inf), axis=-1)
   # k is tiny (4): k iterative masked argmins beat a full per-row sort.
+  # Two penalty tiers keep the k indices DISTINCT like lax.top_k: already
+  # chosen views get a larger penalty than invisible ones, so once the
+  # visible views are exhausted the fillers are distinct *invisible* views
+  # (whose gathered vis=False masks them downstream) — never a repeat of an
+  # already-counted visible view.
+  invisible_penalty = 1e20
+  chosen_penalty = 1e30
+  remaining = jnp.where(vis, dist, invisible_penalty)
   indices = []
-  remaining = dist
   for _ in range(num):
     idx = jnp.argmin(remaining, axis=-1)
     indices.append(idx)
-    remaining = jnp.where(
-        jax.nn.one_hot(idx, dist.shape[-1], dtype=bool), jnp.inf, remaining)
+    remaining = remaining + jax.nn.one_hot(
+        idx, dist.shape[-1], dtype=remaining.dtype) * chosen_penalty
   return jnp.stack(indices, axis=-1), min_dist
 
 

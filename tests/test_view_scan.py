@@ -165,3 +165,47 @@ def test_patch_gather_custom_vjp():
                   * cotangent).sum())(images)
   grad_ref = jax.grad(lambda im: (reference(im) * cotangent).sum())(images)
   np.testing.assert_allclose(grad_custom, grad_ref, atol=1e-5)
+
+
+def test_view_selection_no_duplicate_visible_views():
+  """Points with fewer than k visible views must not double-count view 0."""
+  tfm = geometry.Transform3D(
+      R=jnp.broadcast_to(jnp.eye(3), (1, 4, 3, 3)),
+      t=jnp.asarray([[[0., 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]]]))
+  points = jnp.zeros((1, 2, 3))
+  # Only views 0 and 2 visible.
+  vis = jnp.asarray([[[True, False, True, False]] * 2])
+  idx, _ = view_fusion.view_selection(points, tfm, vis, 3)
+  chosen = np.asarray(idx[0, 0])
+  assert len(set(chosen.tolist())) == 3, chosen  # distinct indices
+  assert chosen[0] == 0 and chosen[1] == 2  # nearest visible first
+  # The filler must be an invisible view, never a repeated visible one.
+  assert chosen[2] in (1, 3)
+
+
+def test_stream_partial_visibility_pooling():
+  """Pooling over fewer-than-k visible views matches a hand computation."""
+  tfm = geometry.Transform3D(
+      R=jnp.broadcast_to(
+          jnp.asarray([[1., 0, 0], [0, 0, 1], [0, -1, 0]]), (1, 3, 3, 3)),
+      t=jnp.asarray([[[5., 2, 2], [5., 2.5, 2], [5., 100, 2]]]))
+  cams = geometry.FisheyeCamera(
+      wh=jnp.broadcast_to(jnp.asarray([16.0, 12.0]), (1, 3, 2)),
+      f=jnp.full((1, 3, 2), 4.0),
+      c=jnp.broadcast_to(jnp.asarray([8.0, 6.0]), (1, 3, 2)),
+      k_radial=jnp.zeros((1, 3, 3)),
+      max_fov=jnp.full((1, 3), np.deg2rad(115.0)),
+  )
+  # Constant per-view feature maps: view v has value 10*(v+1).
+  f_maps = jnp.stack(
+      [jnp.full((12, 16, 4), 10.0 * (v + 1)) for v in range(3)])[None]
+  # A point ahead of views 0/1 but far behind view 2's position.
+  points = jnp.asarray([[[5.0, 6.0, 0.5]]])
+  out = view_scan.pool_views_stream(
+      f_maps, None, tfm, cams, points,
+      top_k=2, depth_min_max=(1.0, 32.0), add_minmax=False,
+      use_variance=True)
+  # Unweighted mean over the (visible) selected views only.
+  assert bool(out.valid[0, 0])
+  mean = float(out.stats[0, 0, 0])
+  assert 10.0 <= mean <= 20.0, mean
