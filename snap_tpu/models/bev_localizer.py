@@ -248,9 +248,13 @@ class BEVLocalizer(nn.Module):
     if self.config.add_temperature:
       # The dense scores are mean similarities in ~[-1, 1]; the learned
       # temperature sets the InfoNCE sharpness like in the sampled path.
+      # Scale the raw (finite) volume and re-apply the mask: multiplying the
+      # -inf masked cells by a traced scale poisons the temperature gradient
+      # (0 * inf = NaN in the chain rule).
       scale = jnp.exp(self.temperature)
-      volume = volume * scale
+      finite = jnp.isfinite(volume)
       volume_raw = volume_raw * scale
+      volume = jnp.where(finite, volume_raw, -jnp.inf)
     out['scores_pose_volume'] = volume
     b = volume.shape[0]
     flat = volume.reshape(b, -1)

@@ -171,3 +171,34 @@ def test_dense_refinement_improves_angle():
   err_deg = np.rad2deg(abs(got_angle - expected))
   err_deg = min(err_deg, 360 - err_deg)
   assert err_deg < 1.0, (np.rad2deg(expected), np.rad2deg(got_angle))
+
+
+def test_dense_backend_gradients_finite_incl_temperature():
+  """The dense-backend loss must produce finite, nonzero temperature grads
+  (regression: -inf masked cells x traced scale poisoned the chain rule)."""
+  import helpers
+  from snap_tpu.models import bev_localizer
+
+  dataset = helpers.tiny_dataset(batch_size=2)
+  config = helpers.tiny_localizer(
+      pose_backend='exhaustive', filter_points_in_fov=False,
+      clip_negative_scores=False, num_rotations=8)
+  model = bev_localizer.BEVLocalizerModel(
+      config, dataset.meta_data, jnp.float32)
+  batch = dataset.meta_data['get_dummy_batch_fn']()
+  batch.pop('_host', None)
+  rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1)}
+  variables = jax.jit(
+      lambda b: model.flax_model.init(rngs, b, train=False))(batch)
+
+  def loss_fn(params):
+    pred = model.flax_model.apply(
+        {'params': params}, batch, train=True,
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    losses, _ = model.loss_metrics_function(pred, batch, params)
+    return losses['total'].mean()
+
+  grads = jax.jit(jax.grad(loss_fn))(variables['params'])
+  assert all(bool(jnp.isfinite(g).all())
+             for g in jax.tree_util.tree_leaves(grads))
+  assert abs(float(grads['temperature'])) > 1e-8
