@@ -70,6 +70,13 @@ def process_batch(batch: DataDict, mode: types.DataMode) -> DataDict:
       batch[k] = process_scene_batch(scene)
     batch['T_query2map'] = geometry.Transform3D(**batch['T_query2map'])
     host['pair_id'] = batch.pop('pair_id')
+  elif mode == types.DataMode.PAIR_SCENES:
+    for k in ('scene_i', 'scene_j'):
+      scene = dict(batch[k])
+      host[f'{k}/scene_id'] = scene.pop('scene_id')
+      host[f'{k}/vehicle_type'] = scene.pop('vehicle_type')
+      batch[k] = process_scene_batch(scene)
+    batch['T_j2i'] = geometry.Transform3D(**batch['T_j2i'])
   else:
     raise NotImplementedError(mode)
   batch['_host'] = host

@@ -330,4 +330,32 @@ class SyntheticSceneGenerator:
           'time_delta_days': np.float32(0.0),
           'pair_id': f'{map_scene["scene_id"]}|{query_scene["scene_id"]}',
       }
+    if mode == data_types.DataMode.PAIR_SCENES:
+      # Two full rigs over the same world; scene_j's frame is a shifted,
+      # yawed copy of scene_i's (reference schema: snap/data/loader.py:
+      # 121-124 — keys scene_i/scene_j + T_j2i).
+      scene_i, texture = self.make_map_scene(index, **kwargs)
+      rng = self.scene_rng(index, salt=3)
+      shift = rng.uniform([-8, -8], [8, 8])
+      yaw = rng.uniform(-np.pi / 4, np.pi / 4)
+      t_j2i = {
+          'R': yaw_matrix(np.array(yaw)).astype(np.float32),
+          't': np.array([*shift, 0.0], np.float32),
+      }
+      scene_j, _ = self.make_map_scene(index, **kwargs)
+      # Re-express scene_j's views in its own (shifted) frame: the world
+      # content is shared via the texture; poses move by inv(T_j2i).
+      r_i2j = t_j2i['R'].T
+      t_i2j = -r_i2j @ t_j2i['t']
+      tv = scene_j['T_view2scene']
+      tv['R'] = (r_i2j[None] @ tv['R']).astype(np.float32)
+      tv['t'] = (tv['t'] @ r_i2j.T + t_i2j).astype(np.float32)
+      scene_j['scene_id'] = scene_j['scene_id'] + '/j'
+      return {
+          'scene_i': scene_i,
+          'scene_j': scene_j,
+          'T_j2i': t_j2i,
+          'overlap': np.float32(0.5),
+          'time_delta_days': np.float32(0.0),
+      }
     raise NotImplementedError(mode)

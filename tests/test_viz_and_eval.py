@@ -93,3 +93,15 @@ def test_loader_multiworker_order():
   ids2 = [str(next(ds2.train_iter)['_host']['map/scene_id'][0])
           for _ in range(4)]
   assert ids == ids2
+
+
+def test_pair_scenes_mode():
+  """PAIR_SCENES batches carry scene_i/scene_j + typed T_j2i."""
+  import helpers
+  from snap_tpu.utils import geometry
+  ds = helpers.tiny_dataset(batch_size=2, mode='pair_scenes')
+  b = next(ds.train_iter)
+  assert 'scene_i' in b and 'scene_j' in b
+  assert isinstance(b['T_j2i'], geometry.Transform3D)
+  assert b['scene_i']['images'].shape[:2] == (2, 3)
+  assert b['scene_j']['T_view2scene'].shape == (2, 3)
