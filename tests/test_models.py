@@ -148,3 +148,44 @@ class TestBatchSchema:
     colors = np.stack(colors)
     # Same ground point, two views: colors agree up to the distance fade.
     assert np.abs(colors[0] - colors[1]).max() < 0.35
+
+
+class TestConfidenceQuery:
+
+  @pytest.mark.parametrize('backend', ['ransac', 'exhaustive'])
+  def test_confidence_weighting_runs(self, dataset, batch, backend):
+    overrides = dict(add_confidence_query=True)
+    if backend == 'exhaustive':
+      overrides.update(pose_backend='exhaustive', filter_points_in_fov=False,
+                       clip_negative_scores=False, num_rotations=8)
+    model = build_localizer(dataset, **overrides)
+    variables, pred = init_and_apply(model, batch)
+    assert 'bev_confidence' in pred['query']
+    losses, _ = model.loss_metrics_function(pred, batch, variables['params'])
+    assert bool(jnp.isfinite(losses['total']).all())
+
+  def test_confidence_affects_dense_volume(self, dataset, batch):
+    """The confidence head must influence the dense scores (regression:
+    conf_q was silently dropped by the exhaustive backend)."""
+    model = build_localizer(
+        dataset, add_confidence_query=True, pose_backend='exhaustive',
+        filter_points_in_fov=False, clip_negative_scores=False,
+        num_rotations=8)
+    variables, pred = init_and_apply(model, batch)
+
+    def vol_sum(params):
+      out = model.flax_model.apply(
+          {'params': params}, batch, train=False,
+          rngs={'sampling': jax.random.PRNGKey(2)})
+      vol = out['scores_pose_volume']
+      return jnp.where(jnp.isfinite(vol), vol, 0.0).sum()
+
+    grads = jax.jit(jax.grad(vol_sum))(variables['params'])
+    conf_grad = grads['bev_mapper_query']['confidence_head'] if (
+        'bev_mapper_query' in grads and 'confidence_head' in grads.get(
+            'bev_mapper_query', {})) else grads['bev_mapper'].get(
+                'confidence_head')
+    assert conf_grad is not None
+    total = sum(float(jnp.abs(g).sum())
+                for g in jax.tree_util.tree_leaves(conf_grad))
+    assert total > 0.0
