@@ -50,17 +50,23 @@ class TrainState:
   model_state: PyTree
   rng: jax.Array
   tx: optax.GradientTransformation = struct.field(pytree_node=False)
+  # fp16 only: dynamic loss scale (bf16 needs none; reference parity with
+  # snap/trainer.py:52-54). None when dtype is f32/bf16.
+  dynamic_scale: Any = None
 
 
 def state_to_ckpt(state: TrainState) -> Dict[str, Any]:
   """Serializable view of the state (drops the static optax transform)."""
-  return dict(
+  ckpt = dict(
       global_step=state.global_step,
       params=state.params,
       opt_state=state.opt_state,
       model_state=state.model_state,
       rng=state.rng,
   )
+  if state.dynamic_scale is not None:
+    ckpt['dynamic_scale'] = state.dynamic_scale
+  return ckpt
 
 
 def reduce_metrics(metrics: base.MetricsDict, mask: jax.Array
@@ -179,21 +185,30 @@ def train_step(
     loss = losses['total'].mean(where=batch['batch_mask'] > 0)
     return loss, (new_model_state, losses, metrics)
 
-  grad_fn = jax.grad(training_loss_fn, has_aux=True)
-  grad, (new_model_state, losses, metrics) = grad_fn(train_state.params)
+  logs = {}
+  dynamic_scale = train_state.dynamic_scale
+  if dynamic_scale is not None:
+    # fp16: scale the loss, unscale the grads, adjust the scale each step.
+    grad_fn = dynamic_scale.value_and_grad(training_loss_fn, has_aux=True)
+    dynamic_scale, is_fin_scale, (_, aux), grad = grad_fn(train_state.params)
+    new_model_state, losses, metrics = aux
+    logs['loss_scale'] = dynamic_scale.scale
+  else:
+    grad_fn = jax.grad(training_loss_fn, has_aux=True)
+    grad, (new_model_state, losses, metrics) = grad_fn(train_state.params)
+    is_fin_scale = jnp.asarray(True)
 
   updates, new_opt_state = train_state.tx.update(
       grad, train_state.opt_state, train_state.params)
   new_params = optax.apply_updates(train_state.params, updates)
 
-  logs = {}
   logs['l2_grads'] = optax.global_norm(grad)
   logs['l2_updates'] = optax.global_norm(updates)
   logs['learning_rate'] = lr_fn(train_state.global_step)
 
   # Non-finite guard: skip the update (keep old params/opt state) if any
   # gradient leaf is non-finite (reference: snap/trainer.py:260-277).
-  is_fin = jnp.all(jnp.stack([
+  is_fin = is_fin_scale & jnp.all(jnp.stack([
       jnp.isfinite(g).all() for g in jax.tree_util.tree_leaves(grad)]))
   new_opt_state = jax.tree_util.tree_map(
       functools.partial(jnp.where, is_fin), new_opt_state,
@@ -214,6 +229,7 @@ def train_step(
       params=new_params,
       model_state=new_model_state,
       rng=new_rng,
+      dynamic_scale=dynamic_scale,
   )
   return new_train_state, metrics, logs
 
@@ -304,6 +320,13 @@ def train(
   lr_fn = lr_schedules.get_learning_rate_fn(config)
   tx = optimizers.get_optimizer(config, lr_fn, params=params)
 
+  # fp16 uses a dynamic loss scale; bf16/f32 need none (reference:
+  # snap/trainer.py:388-394).
+  dynamic_scale = None
+  if dtype == jnp.float16:
+    from flax.training import dynamic_scale as dynamic_scale_lib
+    dynamic_scale = dynamic_scale_lib.DynamicScale(minimum_scale=256.0)
+
   rng, train_rng, eval_rng = jax.random.split(rng, 3)
   host_state = dict(
       global_step=jnp.zeros((), jnp.int32),
@@ -312,6 +335,8 @@ def train(
       model_state=model_state,
       rng=train_rng,
   )
+  if dynamic_scale is not None:
+    host_state['dynamic_scale'] = dynamic_scale
   start_step = 0
   if config.checkpoint:
     host_state, start_step = checkpoints.restore_checkpoint(
@@ -330,6 +355,9 @@ def train(
       model_state=jax.device_put(host_state['model_state'], repl),
       rng=jax.device_put(host_state['rng'], repl),
       tx=tx,
+      dynamic_scale=(
+          jax.device_put(host_state['dynamic_scale'], repl)
+          if dynamic_scale is not None else None),
   )
   del host_state, params, model_state
 
@@ -437,4 +465,8 @@ def train(
             max_to_keep=config.get('max_checkpoints_to_keep') or 10)
       chrono.resume()
 
+  if jax.process_count() > 1:
+    # Wait for all hosts before exiting (reference: snap/trainer.py:604).
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices('end_of_training')
   return train_state, train_summary, eval_summary

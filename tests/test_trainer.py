@@ -112,3 +112,24 @@ def test_train_checkpoint_resume(tmp_path):
   )
   assert int(jax.device_get(state2.global_step)) == 5
   assert checkpoints.latest_step(workdir) == 5
+
+
+@pytest.mark.slow
+def test_train_fp16_dynamic_scale(tmp_path):
+  """fp16 training runs with a dynamic loss scale in the state."""
+  config = tiny_train_config(dtype_str='float16', num_training_steps=2,
+                             log_summary_steps=2, log_eval_steps=2,
+                             checkpoint=False)
+  dataset = helpers.tiny_dataset(batch_size=4)
+  mesh = mesh_lib.make_mesh({'data': -1, 'model': 1})
+  state, train_summary, _ = trainer.train(
+      rng=jax.random.PRNGKey(0),
+      config=config,
+      model_cls=bev_localizer.BEVLocalizerModel,
+      dataset=dataset,
+      workdir=str(tmp_path / 'fp16'),
+      mesh=mesh,
+  )
+  assert state.dynamic_scale is not None
+  assert float(jax.device_get(state.dynamic_scale.scale)) >= 256.0
+  assert np.isfinite(train_summary['loss/total'])
