@@ -202,3 +202,43 @@ def test_dense_backend_gradients_finite_incl_temperature():
   assert all(bool(jnp.isfinite(g).all())
              for g in jax.tree_util.tree_leaves(grads))
   assert abs(float(grads['temperature'])) > 1e-8
+
+
+def test_dense_volume_matches_sampled_scoring_at_grid_poses():
+  """At exact grid poses (rotation 0, integer cell offsets) the dense volume
+  equals the sampled per-point scorer: both compute
+  sum_n f_q[n] . M[x_n + delta] / N with exact (non-interpolated) reads."""
+  from snap_tpu.models import pose_estimation
+
+  rng = np.random.default_rng(11)
+  d = 5
+  grid_q = grids.Grid2D((8, 6), 0.5)
+  grid_m = grids.Grid2D((12, 10), 0.5)
+  f_q = jnp.asarray(rng.normal(size=(*grid_q.extent, d)), jnp.float32)
+  f_m = jnp.asarray(rng.normal(size=(*grid_m.extent, d)), jnp.float32)
+  valid_q = jnp.ones(grid_q.extent, bool)
+  valid_m = jnp.ones(grid_m.extent, bool)
+
+  volume = pev.exhaustive_pose_voting(
+      types.FeaturePlane(features=f_q, valid=valid_q),
+      types.FeaturePlane(features=f_m, valid=valid_m),
+      8, grid_q, use_fft=True)
+
+  # Sampled scorer on the same quantities (no fov filter, no clip, no temp).
+  q_xy = jnp.asarray(
+      (np.moveaxis(np.mgrid[:8, :6], 0, -1) + 0.5) * 0.5, jnp.float32
+  ).reshape(-1, 2)
+  sim = jnp.einsum('nd,ijd->nij', f_q.reshape(-1, d), f_m)
+  num_valid = q_xy.shape[0]
+
+  for a, b in ((7, 5), (10, 8), (3, 9)):
+    # Rotation index 0, translation index (a, b); poses fully inside the map
+    # keep every query cell on an exact map cell center.
+    tfm = pev.exhaustive_index_to_tfm(
+        jnp.asarray([0, a, b]), grid_q, None, 8, np.zeros(2))
+    score_sampled = pose_estimation.pose_scoring_many(
+        geometry.Transform2D(angle=tfm.angle[None], t=tfm.t[None]),
+        sim / num_valid, q_xy, jnp.ones(num_valid, bool), valid_m,
+        grid_m, False)[0]
+    np.testing.assert_allclose(
+        float(volume[0, a, b]), float(score_sampled), rtol=2e-3)
