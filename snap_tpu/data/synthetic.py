@@ -79,6 +79,54 @@ class TextureParams:
     return (vals + 1) / 2
 
 
+@dataclasses.dataclass
+class Boxes:
+  """Axis-aligned boxes standing on the ground (buildings/obstacles)."""
+
+  mins: np.ndarray  # [K, 3] (z always 0)
+  maxs: np.ndarray  # [K, 3]
+  colors: np.ndarray  # [K, 3]
+
+  @classmethod
+  def sample(cls, rng: np.random.Generator, grid_size, num: int = 5) -> 'Boxes':
+    gx, gy, _ = grid_size
+    centers = rng.uniform([3, 3], [gx - 3, gy - 3], size=(num, 2))
+    sizes = rng.uniform(1.5, 4.0, size=(num, 2))
+    heights = rng.uniform(3.0, 8.0, size=(num, 1))
+    mins = np.concatenate([centers - sizes / 2, np.zeros((num, 1))], -1)
+    maxs = np.concatenate([centers + sizes / 2, heights], -1)
+    colors = rng.uniform(0.2, 0.9, size=(num, 3))
+    return cls(mins=mins, maxs=maxs, colors=colors)
+
+  def raycast(self, origins: np.ndarray, dirs: np.ndarray):
+    """First-hit distance and box index for ``[..., 3]`` rays (slab method).
+
+    Returns (t [...], hit_index [...]) with t=inf where nothing is hit.
+    """
+    o = origins[..., None, :]  # [..., K, 3]
+    d = dirs[..., None, :]
+    safe_d = np.where(np.abs(d) < 1e-9, 1e-9, d)
+    t1 = (self.mins - o) / safe_d
+    t2 = (self.maxs - o) / safe_d
+    t_near = np.minimum(t1, t2).max(-1)
+    t_far = np.maximum(t1, t2).min(-1)
+    hit = (t_far >= np.maximum(t_near, 1e-4))
+    t_near = np.where(hit & (t_near > 1e-4), t_near, np.inf)
+    idx = np.argmin(t_near, axis=-1)
+    t = np.take_along_axis(t_near, idx[..., None], axis=-1)[..., 0]
+    return t, idx
+
+  def footprint_mask(self, xy: np.ndarray) -> np.ndarray:
+    """Boolean [...,] mask of points inside any box footprint."""
+    inside = (
+        (xy[..., None, 0] >= self.mins[:, 0])
+        & (xy[..., None, 0] < self.maxs[:, 0])
+        & (xy[..., None, 1] >= self.mins[:, 1])
+        & (xy[..., None, 1] < self.maxs[:, 1])
+    )
+    return inside.any(-1)
+
+
 def make_fisheye_intrinsics(
     image_hw: Tuple[int, int], hfov_deg: float = 72.0
 ) -> DataDict:
@@ -104,8 +152,9 @@ def render_view(
     cam_pos: np.ndarray,
     intrinsics: DataDict,
     image_hw: Tuple[int, int],
+    boxes: Optional[Boxes] = None,
 ) -> np.ndarray:
-  """Render the ground-plane texture seen by a pinhole-ish camera."""
+  """Render the ground texture + boxes seen by a pinhole-ish camera."""
   h, w = image_hw
   K = intrinsics['K']
   # Pixel centers (half-integer convention).
@@ -119,14 +168,26 @@ def render_view(
   # Intersect z = 0: t = -cam_z / ray_z for downward rays.
   rz = rays_world[..., 2]
   hits_ground = rz < -1e-4
-  t = np.where(hits_ground, -cam_pos[2] / np.where(hits_ground, rz, -1.0), 0.0)
-  ground_xy = cam_pos[:2] + t[..., None] * rays_world[..., :2]
+  t_ground = np.where(
+      hits_ground, -cam_pos[2] / np.where(hits_ground, rz, -1.0), np.inf)
+  ground_xy = cam_pos[:2] + t_ground[..., None] * rays_world[..., :2]
+  ground_xy = np.nan_to_num(ground_xy, posinf=0.0, neginf=0.0)
   colors = texture(ground_xy).astype(np.float32)
-  # Fade distant ground (cheap atmospheric cue) and paint the sky.
   dist = np.linalg.norm(ground_xy - cam_pos[:2], axis=-1)
   fade = np.exp(-dist / 60.0)[..., None]
   sky = np.array([0.55, 0.65, 0.8], np.float32)
   img = np.where(hits_ground[..., None], colors * fade + sky * (1 - fade), sky)
+
+  if boxes is not None and len(boxes.mins):
+    norm = np.linalg.norm(rays_world, axis=-1, keepdims=True)
+    dirs = rays_world / norm
+    t_box, idx = boxes.raycast(np.broadcast_to(cam_pos, dirs.shape), dirs)
+    box_in_front = t_box * norm[..., 0] < t_ground
+    box_color = boxes.colors[idx].astype(np.float32)
+    # Simple height shading so faces are not flat.
+    hit_z = cam_pos[2] + t_box * dirs[..., 2]
+    shade = np.clip(0.6 + 0.08 * np.nan_to_num(hit_z), 0.3, 1.0)[..., None]
+    img = np.where(box_in_front[..., None], box_color * shade, img)
   return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
@@ -138,6 +199,7 @@ class SyntheticSceneGenerator:
   rasters_config: data_types.RastersConfig
   lidar_config: data_types.LidarConfig
   image_hw: Tuple[int, int] = (90, 120)
+  num_boxes: int = 5
   voxel_size: float = 0.2
   camera_height_range: Tuple[float, float] = (2.0, 3.0)
   seed: int = 0
@@ -175,6 +237,7 @@ class SyntheticSceneGenerator:
       positions: np.ndarray,
       yaws: np.ndarray,
       add_images: bool,
+      boxes: Optional[Boxes] = None,
   ) -> DataDict:
     num = len(positions)
     intr = make_fisheye_intrinsics(
@@ -197,13 +260,14 @@ class SyntheticSceneGenerator:
     }
     if add_images:
       images = np.stack([
-          render_view(texture, R[i], positions[i], intr, self.image_hw)
+          render_view(texture, R[i], positions[i], intr, self.image_hw, boxes)
           for i in range(num)
       ])
       ret['images'] = images
     return ret
 
-  def _rasters(self, texture: TextureParams) -> DataDict:
+  def _rasters(self, texture: TextureParams,
+               boxes: Optional[Boxes] = None) -> DataDict:
     gx, gy, _ = self.scene_config.grid_size
     nx = int(round(gx / self.voxel_size))
     ny = int(round(gy / self.voxel_size))
@@ -213,15 +277,29 @@ class SyntheticSceneGenerator:
     rasters: DataDict = {'rgb': rgb}
     # Boolean layers from texture-channel thresholds: crude but consistent
     # across the aerial raster, the views, and the lidar geometry.
-    classes = self.rasters_config.semantic_classes
+    classes = list(self.rasters_config.semantic_classes)
     thresholds = np.linspace(0.35, 0.65, len(classes))
     sem = np.stack([
         rgb[..., i % 3] > t for i, t in enumerate(thresholds)], -1)
     rasters['semantics'] = sem
-    gt_classes = self.rasters_config.gt_semantic_classes
+    gt_classes = list(self.rasters_config.gt_semantic_classes)
     thresholds = np.linspace(0.3, 0.7, len(gt_classes))
-    rasters['gt_semantics'] = np.stack([
+    gt = np.stack([
         rgb[..., (i + 1) % 3] > t for i, t in enumerate(thresholds)], -1)
+    if boxes is not None:
+      footprint = boxes.footprint_mask(xy)
+      rgb = np.where(
+          footprint[..., None],
+          boxes.colors[np.argmax(
+              footprint[..., None] & np.ones(len(boxes.mins), bool), -1)],
+          rgb).astype(np.float32)
+      rasters['rgb'] = rgb
+      for name in ('buildings_raw', 'buildings_contoured'):
+        if name in classes:
+          sem[..., classes.index(name)] = footprint
+      if 'building' in gt_classes:
+        gt[..., gt_classes.index('building')] = footprint
+    rasters['gt_semantics'] = gt
     return rasters
 
   def _lidar_rays(
@@ -229,21 +307,33 @@ class SyntheticSceneGenerator:
       rng: np.random.Generator,
       positions: np.ndarray,
       num_rays: int,
+      boxes: Optional[Boxes] = None,
   ) -> DataDict:
-    """Rays from camera origins to ground points (plus a few wall-ish hits)."""
+    """First-hit raycasts from camera origins (ground plane + box walls)."""
     num_views = len(positions)
     view_idx = rng.integers(0, num_views, size=num_rays)
     origins = positions[view_idx]
-    angles = rng.uniform(0, 2 * np.pi, size=num_rays)
-    radii = rng.uniform(1.0, 20.0, size=num_rays)
-    ground = origins.copy()
-    ground[:, 0] += radii * np.cos(angles)
-    ground[:, 1] += radii * np.sin(angles)
-    ground[:, 2] = 0.0
+    azim = rng.uniform(0, 2 * np.pi, size=num_rays)
+    elev = rng.uniform(np.deg2rad(-35.0), np.deg2rad(10.0), size=num_rays)
+    dirs = np.stack([
+        np.cos(elev) * np.cos(azim),
+        np.cos(elev) * np.sin(azim),
+        np.sin(elev),
+    ], -1)
+    down = dirs[:, 2] < -1e-4
+    t_ground = np.where(down, -origins[:, 2] / np.where(down, dirs[:, 2], -1),
+                        np.inf)
+    t = t_ground
+    if boxes is not None and len(boxes.mins):
+      t_box, _ = boxes.raycast(origins, dirs)
+      t = np.minimum(t, t_box)
+    mask = np.isfinite(t) & (t < 40.0)
+    t_safe = np.where(mask, t, 1.0)
+    points = origins + t_safe[:, None] * dirs
     return {
-        'points': ground.astype(np.float32),
+        'points': points.astype(np.float32),
         'origins': origins.astype(np.float32),
-        'mask': np.ones(num_rays, bool),
+        'mask': mask,
     }
 
   def make_map_scene(
@@ -253,23 +343,24 @@ class SyntheticSceneGenerator:
       add_rasters: bool = False,
       add_lidar_rays: bool = False,
       num_rays: Optional[int] = None,
-  ) -> Tuple[DataDict, TextureParams]:
+  ) -> Tuple[DataDict, tuple]:
     rng = self.scene_rng(index, salt=1)
     texture = TextureParams.sample(rng)
+    boxes = Boxes.sample(rng, self.scene_config.grid_size, self.num_boxes)
     positions, yaws = self._sample_map_views(rng)
-    scene = self._views_dict(texture, positions, yaws, add_images)
+    scene = self._views_dict(texture, positions, yaws, add_images, boxes)
     scene['scene_id'] = f'synthetic/{self.seed}/{index}'
     scene['vehicle_type'] = 'CAR'
     scene['latlng'] = np.zeros(2, np.float32)
     if add_rasters:
-      scene['rasters'] = self._rasters(texture)
+      scene['rasters'] = self._rasters(texture, boxes)
     if add_lidar_rays:
       scene['lidar_rays'] = self._lidar_rays(
-          rng, positions, num_rays or self.lidar_config.num_rays)
-    return scene, texture
+          rng, positions, num_rays or self.lidar_config.num_rays, boxes)
+    return scene, (texture, boxes)
 
   def make_query_scene(
-      self, index: int, texture: TextureParams
+      self, index: int, world
   ) -> Tuple[DataDict, DataDict]:
     """A single-view trekker query + its T_query2map ground truth."""
     rng = self.scene_rng(index, salt=2)
@@ -289,7 +380,9 @@ class SyntheticSceneGenerator:
     r_world = yaw_matrix(np.array(yaw_map)) @ CAM_TO_WORLD
     intr = make_fisheye_intrinsics(self.image_hw, cfg.streetview_hfov_deg)
     cam_pos_map = np.array([*cam_xy_map, cam_z])
-    image = render_view(texture, r_world, cam_pos_map, intr, self.image_hw)
+    texture, boxes = world
+    image = render_view(
+        texture, r_world, cam_pos_map, intr, self.image_hw, boxes)
 
     scene = self._views_dict(texture, positions, yaws, add_images=False)
     scene['images'] = image[None]
@@ -320,8 +413,8 @@ class SyntheticSceneGenerator:
       scene, _ = self.make_map_scene(index, **kwargs)
       return scene
     if mode == data_types.DataMode.PAIR_SCENE_VIEW:
-      map_scene, texture = self.make_map_scene(index, **kwargs)
-      query_scene, t_query2map = self.make_query_scene(index, texture)
+      map_scene, world = self.make_map_scene(index, **kwargs)
+      query_scene, t_query2map = self.make_query_scene(index, world)
       return {
           'map': map_scene,
           'query': query_scene,
@@ -334,7 +427,7 @@ class SyntheticSceneGenerator:
       # Two full rigs over the same world; scene_j's frame is a shifted,
       # yawed copy of scene_i's (reference schema: snap/data/loader.py:
       # 121-124 — keys scene_i/scene_j + T_j2i).
-      scene_i, texture = self.make_map_scene(index, **kwargs)
+      scene_i, _ = self.make_map_scene(index, **kwargs)
       rng = self.scene_rng(index, salt=3)
       shift = rng.uniform([-8, -8], [8, 8])
       yaw = rng.uniform(-np.pi / 4, np.pi / 4)
