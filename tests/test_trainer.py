@@ -133,3 +133,42 @@ def test_train_fp16_dynamic_scale(tmp_path):
   assert state.dynamic_scale is not None
   assert float(jax.device_get(state.dynamic_scale.scale)) >= 256.0
   assert np.isfinite(train_summary['loss/total'])
+
+
+def test_resnet_npz_pretrained_loading(tmp_path):
+  """BiT-format .npz weights load into the ResNet via the subtree protocol."""
+  import numpy as np
+  from ml_collections import config_dict
+  from snap_tpu.configs import defaults
+  from snap_tpu.models import resnet
+
+  cfg = defaults.resnet('tiny')
+  model = resnet.ResNetV2(cfg, jnp.float32)
+  x = jnp.zeros((1, 32, 32, 3))
+  variables = model.init(jax.random.PRNGKey(0), x)
+  params = variables['params']
+
+  # Write a big_vision-style flat npz matching a couple of param paths.
+  flat = {}
+  kernel = np.asarray(params['root_block']['conv_root']['kernel']) * 0 + 0.5
+  flat['root_block/conv_root/kernel'] = kernel
+  scale = np.asarray(params['block1']['unit01']['gn1']['scale']) * 0 + 2.0
+  flat['block1/unit01/gn1/scale'] = scale
+  path = str(tmp_path / 'bit.npz')
+  np.savez(path, **flat)
+
+  cfg2 = config_dict.ConfigDict(cfg.to_dict())
+  cfg2.pretrained_path = path
+  model2 = resnet.ResNetV2(cfg2.lock(), jnp.float32)
+  loaded = model2.apply(
+      variables, method=lambda m: m.load_pretrained_variables())
+  assert loaded is not None
+  np.testing.assert_allclose(
+      loaded['params']['root_block']['conv_root']['kernel'], kernel)
+  np.testing.assert_allclose(
+      loaded['params']['block1']['unit01']['gn1']['scale'], scale)
+
+  # End-to-end through the trainer's update_pretrained_variables.
+  updated = trainer.update_pretrained_variables(model2, variables)
+  np.testing.assert_allclose(
+      updated['params']['root_block']['conv_root']['kernel'], kernel)
