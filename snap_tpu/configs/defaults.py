@@ -43,6 +43,7 @@ def parse_argument_string(args_str: None | str) -> dict[str, Any]:
       image_encoder='R50',
       modalities='streetview+aerial',
       pose_backend='ransac',
+      scale='full',
   )
   if unknown_args := (set(args) - set(default_args)):
     raise ValueError(f'Unknown args: {unknown_args}')

@@ -9,8 +9,16 @@ from snap_tpu.configs import defaults
 
 
 def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
-  """Return the config. args: image_encoder=R50|R152x2|R101|tiny,
-  modalities=streetview+aerial[+semantic]."""
+  """Return the config. args: image_encoder=R50|R152x2|R101|R26|tiny,
+  modalities=streetview+aerial[+semantic], pose_backend=ransac|exhaustive,
+  scale=full|small.
+
+  ``scale=small`` is the from-scratch convergence recipe on synthetic data:
+  the same model and loss at a reduced scene resolution (0.4 m voxels,
+  10 views, 90x120 images), batch 8, and a warmup+cosine schedule sized for
+  tens of thousands of steps instead of the reference's 400k
+  (reference scale: snap/configs/train_localization.py:73-93).
+  """
   config = defaults.base()
   config.model_name = 'bev_localizer'
   config.model = defaults.bev_localizer()
@@ -46,23 +54,45 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
 
   cities = defaults.DATA_SPLITS_CITIES['train']
   locations = ','.join(f'{c}-synthetic' for c in cities)
+  small = args['scale'] == 'small'
   config.data = defaults.streetview_singlescene()
   config.data.update(
       dict(
           locations=dict(training=locations),
           mode='pair_scene_view',
-          voxel_size=0.2,
+          voxel_size=0.4 if small else 0.2,
           add_images=defaults.MapModalities.STREETVIEW in map_modalities,
           add_rasters=(
               (defaults.MapModalities.AERIAL in map_modalities)
               or (defaults.MapModalities.SEMANTIC in map_modalities)
           ),
-          evaluation_size=8_192,
+          evaluation_size=64 if small else 8_192,
           training_size_per_builder=5_000_000,
-          num_views=20,
+          num_views=10 if small else 20,
+          num_workers=8 if small else 2,
       )
   )
-  config.batch_size = 1
+  if small:
+    config.data.image_size = (90, 120)
+  config.batch_size = 8 if small else 32
+
+  if small:
+    # From-scratch convergence on synthetic data: short schedule, higher lr.
+    config.checkpoint_steps = 2_000
+    config.log_summary_steps = 100
+    config.log_eval_steps = 2_000
+    config.steps_per_eval = 8
+    config.num_training_steps = 30_000
+    config.lr_configs.warmup_steps = 1_000
+    config.lr_configs.start_decay_step = 5_000
+    config.lr_configs.base_learning_rate = 5e-4
+    config.lr_configs.factors = 'constant * linear_warmup * cosine_decay'
+    config.lr_configs.steps_per_cycle = config.get_ref(
+        'num_training_steps'
+    ) - config.lr_configs.get_ref('start_decay_step')
+    config.max_grad_norm = 1.0
+    config.dtype_str = 'bfloat16'
+    return config
 
   if args['image_encoder'] == 'R152x2':
     config.checkpoint_steps = 2_000

@@ -98,6 +98,28 @@ def split_host_data(batch: DataDict) -> tuple[DataDict, DataDict]:
   return batch, host
 
 
+def put_global_batch(
+    batch: DataDict, sharding: jax.sharding.Sharding
+) -> DataDict:
+  """Place a (process-local) batch on the mesh as global arrays.
+
+  Single-process: a plain sharded ``device_put``. Multi-process: each process
+  holds its contiguous block of the global batch; leaves are assembled into
+  global arrays with ``jax.make_array_from_process_local_data`` (the
+  jit/Mesh equivalent of the reference's per-host tf.data sharding +
+  ``device_put_sharded``, snap/data/loader.py:266,51).
+  """
+  if jax.process_count() == 1:
+    return jax.device_put(batch, sharding)
+
+  def put(x):
+    x = np.asarray(x)
+    global_shape = (x.shape[0] * jax.process_count(), *x.shape[1:])
+    return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+  return jax.tree_util.tree_map(put, batch)
+
+
 class _PrefetchIterator:
   """Worker threads building batches in order; buffered device placement.
 
@@ -146,7 +168,7 @@ class _PrefetchIterator:
         batch = self._make_batch(self._wrap(i))
         device_batch, host = split_host_data(batch)
         if self._sharding is not None:
-          device_batch = jax.device_put(device_batch, self._sharding)
+          device_batch = put_global_batch(device_batch, self._sharding)
         with self._lock:
           self._results[i] = (device_batch, host)
           self._ready.notify_all()
@@ -194,10 +216,11 @@ def get_dataset(
   """Build train/eval iterators over synthetic scenes.
 
   The batch axis is sharded over the mesh 'data' axis when a mesh is given.
-  Multi-host: each process generates the subrange of examples assigned to it
-  (disjoint seeds), the global batch is assembled per host from its local
-  shard via ``jax.make_array_from_process_local_data`` semantics — for
-  single-host runs (this round's scope) the whole batch is local.
+  Multi-host: ``batch_size`` is the *global* batch; each process generates
+  only its contiguous block of ``batch_size / process_count`` examples and
+  the global array is assembled from the per-process shards by
+  ``put_global_batch`` (jax.make_array_from_process_local_data). Tested by
+  tests/test_multihost.py with two jax.distributed CPU processes.
   """
   eval_batch_size = eval_batch_size or batch_size
   mode = types.DataMode(dataset_configs.mode or 'pair_scene_view')
@@ -241,23 +264,26 @@ def get_dataset(
 
   process_index = jax.process_index()
   num_processes = jax.process_count()
+  if batch_size % num_processes or eval_batch_size % num_processes:
+    raise ValueError(
+        f'Global batch sizes ({batch_size}, {eval_batch_size}) must divide '
+        f'evenly over {num_processes} processes.')
 
   def make_batch(generator, bs, is_training, num_examples, batch_index):
+    """Build this process's contiguous block of global batch ``batch_index``."""
+    local_bs = bs // num_processes
+    start = batch_index * bs + process_index * local_bs
     examples = []
-    for k in range(bs):
-      global_idx = batch_index * bs + k
-      if is_training:
-        idx = global_idx * num_processes + process_index
-      else:
-        idx = min(global_idx, max(num_examples - 1, 0))
-      example = generator.make_example(idx, **example_kwargs)
-      examples.append(example)
+    for k in range(local_bs):
+      global_idx = start + k
+      if not is_training:
+        global_idx = min(global_idx, max(num_examples - 1, 0))
+      examples.append(generator.make_example(global_idx, **example_kwargs))
     batch = _stack_examples(examples)
     if not is_training and num_examples is not None:
-      start = batch_index * bs
-      mask = (np.arange(start, start + bs) < num_examples)
+      mask = (np.arange(start, start + local_bs) < num_examples)
     else:
-      mask = np.ones(bs, bool)
+      mask = np.ones(local_bs, bool)
     batch['batch_mask'] = mask.astype(np.float32)
     return process_batch(batch, mode)
 

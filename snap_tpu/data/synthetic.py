@@ -198,6 +198,8 @@ class SyntheticSceneGenerator:
   scene_config: data_types.SceneConfig
   rasters_config: data_types.RastersConfig
   lidar_config: data_types.LidarConfig
+  pairing_config: data_types.PairingConfig = dataclasses.field(
+      default_factory=data_types.PairingConfig)
   image_hw: Tuple[int, int] = (90, 120)
   num_boxes: int = 5
   voxel_size: float = 0.2
@@ -238,7 +240,13 @@ class SyntheticSceneGenerator:
       yaws: np.ndarray,
       add_images: bool,
       boxes: Optional[Boxes] = None,
+      scene2world: Optional[Tuple[np.ndarray, np.ndarray]] = None,
   ) -> DataDict:
+    """Views posed in the scene frame; rendering happens in the world frame.
+
+    ``scene2world`` (R [3,3], t [3]) maps scene-frame poses into the frame the
+    texture/boxes live in (identity when the scene frame IS the world frame).
+    """
     num = len(positions)
     intr = make_fisheye_intrinsics(
         self.image_hw, self.scene_config.streetview_hfov_deg)
@@ -259,20 +267,74 @@ class SyntheticSceneGenerator:
         },
     }
     if add_images:
+      if scene2world is None:
+        render_r, render_pos = R, positions
+      else:
+        r_s2w, t_s2w = scene2world
+        render_r = r_s2w[None] @ R
+        render_pos = positions @ r_s2w.T + t_s2w
       images = np.stack([
-          render_view(texture, R[i], positions[i], intr, self.image_hw, boxes)
+          render_view(texture, render_r[i], render_pos[i], intr,
+                      self.image_hw, boxes)
           for i in range(num)
       ])
       ret['images'] = images
     return ret
 
-  def _rasters(self, texture: TextureParams,
-               boxes: Optional[Boxes] = None) -> DataDict:
+  def _rig_coverage(
+      self,
+      positions: np.ndarray,
+      yaws: np.ndarray,
+      cell: float = 1.0,
+      scene2common: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+  ) -> np.ndarray:
+    """Boolean grid of common-frame cells covered by the rig's view frusta.
+
+    A cell counts as covered when some view sees its center within the
+    camera frustum depth and half the horizontal FoV. Used to compute the
+    pair ``overlap`` field (reference contract: snap/data/types.py:64-74).
+    """
+    cfg = self.scene_config
+    gx, gy, _ = cfg.grid_size
+    ii, jj = np.meshgrid(
+        np.arange(gx / cell), np.arange(gy / cell), indexing='ij')
+    centers = (np.stack([ii, jj], -1) + 0.5) * cell  # common frame
+    if scene2common is None:
+      cam_xy = positions[:, :2]
+      fwd = np.stack([-np.sin(yaws), np.cos(yaws)], -1)
+    else:
+      r_s2c, t_s2c = scene2common
+      cam_xy = positions[:, :2] @ r_s2c[:2, :2].T + t_s2c[:2]
+      fwd = np.stack([-np.sin(yaws), np.cos(yaws)], -1) @ r_s2c[:2, :2].T
+      # Also require the *cell* to be inside this rig's own grid.
+      r_c2s = r_s2c[:2, :2].T
+      cells_scene = (centers - t_s2c[:2]) @ r_c2s.T
+      in_cells = ((cells_scene >= 0) & (cells_scene < [gx, gy])).all(-1)
+    rel = centers[..., None, :] - cam_xy  # [X, Y, V, 2]
+    dist = np.linalg.norm(rel, axis=-1)
+    cos_angle = (rel * fwd).sum(-1) / np.maximum(dist, 1e-6)
+    half_fov = np.deg2rad(cfg.streetview_hfov_deg) / 2
+    seen = (dist <= cfg.camera_frustum_depth) & (
+        cos_angle >= np.cos(half_fov))
+    covered = seen.any(-1)
+    if scene2common is not None:
+      covered &= in_cells
+    return covered
+
+  def _rasters(
+      self,
+      texture: TextureParams,
+      boxes: Optional[Boxes] = None,
+      scene2world: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+  ) -> DataDict:
     gx, gy, _ = self.scene_config.grid_size
     nx = int(round(gx / self.voxel_size))
     ny = int(round(gy / self.voxel_size))
     ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing='ij')
     xy = (np.stack([ii, jj], -1) + 0.5) * self.voxel_size
+    if scene2world is not None:
+      r_s2w, t_s2w = scene2world
+      xy = xy @ r_s2w[:2, :2].T + t_s2w[:2]
     rgb = texture(xy).astype(np.float32)
     rasters: DataDict = {'rgb': rgb}
     # Boolean layers from texture-channel thresholds: crude but consistent
@@ -308,8 +370,14 @@ class SyntheticSceneGenerator:
       positions: np.ndarray,
       num_rays: int,
       boxes: Optional[Boxes] = None,
+      scene2world: Optional[Tuple[np.ndarray, np.ndarray]] = None,
   ) -> DataDict:
-    """First-hit raycasts from camera origins (ground plane + box walls)."""
+    """First-hit raycasts from camera origins (ground plane + box walls).
+
+    Origins/points are scene-frame; box intersection happens in the world
+    frame (the scene2world transform is z-preserving, so the ground plane is
+    shared).
+    """
     num_views = len(positions)
     view_idx = rng.integers(0, num_views, size=num_rays)
     origins = positions[view_idx]
@@ -325,7 +393,13 @@ class SyntheticSceneGenerator:
                         np.inf)
     t = t_ground
     if boxes is not None and len(boxes.mins):
-      t_box, _ = boxes.raycast(origins, dirs)
+      if scene2world is not None:
+        r_s2w, t_s2w = scene2world
+        origins_w = origins @ r_s2w.T + t_s2w
+        dirs_w = dirs @ r_s2w.T
+      else:
+        origins_w, dirs_w = origins, dirs
+      t_box, _ = boxes.raycast(origins_w, dirs_w)
       t = np.minimum(t, t_box)
     mask = np.isfinite(t) & (t < 40.0)
     t_safe = np.where(mask, t, 1.0)
@@ -343,20 +417,35 @@ class SyntheticSceneGenerator:
       add_rasters: bool = False,
       add_lidar_rays: bool = False,
       num_rays: Optional[int] = None,
+      world: Optional[tuple] = None,
+      rig_salt: int = 1,
+      scene2world: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+      rig: Optional[Tuple[np.ndarray, np.ndarray]] = None,
   ) -> Tuple[DataDict, tuple]:
-    rng = self.scene_rng(index, salt=1)
-    texture = TextureParams.sample(rng)
-    boxes = Boxes.sample(rng, self.scene_config.grid_size, self.num_boxes)
-    positions, yaws = self._sample_map_views(rng)
-    scene = self._views_dict(texture, positions, yaws, add_images, boxes)
+    """Build one map scene.
+
+    ``world`` reuses an existing (texture, boxes) world; ``scene2world``
+    expresses this scene's frame in that world's frame (for the second rig of
+    a PAIR_SCENES example); ``rig`` injects pre-sampled (positions, yaws).
+    """
+    rng = self.scene_rng(index, salt=rig_salt)
+    if world is None:
+      texture = TextureParams.sample(rng)
+      boxes = Boxes.sample(rng, self.scene_config.grid_size, self.num_boxes)
+    else:
+      texture, boxes = world
+    positions, yaws = rig if rig is not None else self._sample_map_views(rng)
+    scene = self._views_dict(
+        texture, positions, yaws, add_images, boxes, scene2world)
     scene['scene_id'] = f'synthetic/{self.seed}/{index}'
     scene['vehicle_type'] = 'CAR'
     scene['latlng'] = np.zeros(2, np.float32)
     if add_rasters:
-      scene['rasters'] = self._rasters(texture, boxes)
+      scene['rasters'] = self._rasters(texture, boxes, scene2world)
     if add_lidar_rays:
       scene['lidar_rays'] = self._lidar_rays(
-          rng, positions, num_rays or self.lidar_config.num_rays, boxes)
+          rng, positions, num_rays or self.lidar_config.num_rays, boxes,
+          scene2world)
     return scene, (texture, boxes)
 
   def make_query_scene(
@@ -424,31 +513,54 @@ class SyntheticSceneGenerator:
           'pair_id': f'{map_scene["scene_id"]}|{query_scene["scene_id"]}',
       }
     if mode == data_types.DataMode.PAIR_SCENES:
-      # Two full rigs over the same world; scene_j's frame is a shifted,
-      # yawed copy of scene_i's (reference schema: snap/data/loader.py:
-      # 121-124 — keys scene_i/scene_j + T_j2i).
-      scene_i, _ = self.make_map_scene(index, **kwargs)
-      rng = self.scene_rng(index, salt=3)
-      shift = rng.uniform([-8, -8], [8, 8])
-      yaw = rng.uniform(-np.pi / 4, np.pi / 4)
-      t_j2i = {
-          'R': yaw_matrix(np.array(yaw)).astype(np.float32),
-          't': np.array([*shift, 0.0], np.float32),
-      }
-      scene_j, _ = self.make_map_scene(index, **kwargs)
-      # Re-express scene_j's views in its own (shifted) frame: the world
-      # content is shared via the texture; poses move by inv(T_j2i).
-      r_i2j = t_j2i['R'].T
-      t_i2j = -r_i2j @ t_j2i['t']
-      tv = scene_j['T_view2scene']
-      tv['R'] = (r_i2j[None] @ tv['R']).astype(np.float32)
-      tv['t'] = (tv['t'] @ r_i2j.T + t_i2j).astype(np.float32)
+      # Two *independent* rigs over the same world (reference schema:
+      # snap/data/loader.py:121-124 — keys scene_i/scene_j + T_j2i).
+      # scene_j lives in its own shifted/yawed frame; its rig, rasters, and
+      # lidar are rendered from the shared world through T_j2i. The pair is
+      # resampled until the frustum-coverage overlap falls inside the
+      # PairingConfig window (snap/data/types.py:64-74).
+      scene_i, world = self.make_map_scene(index, **kwargs)
+      # Recover scene_i's rig from its pose dict (R = yaw_matrix @ CAM_TO_WORLD).
+      pos_i = scene_i['T_view2scene']['t'].astype(np.float64)
+      yaw_mats = scene_i['T_view2scene']['R'].astype(np.float64) @ CAM_TO_WORLD.T
+      yaws_i = np.arctan2(yaw_mats[:, 1, 0], yaw_mats[:, 0, 0])
+      cov_i = self._rig_coverage(pos_i, yaws_i)
+
+      pairing = self.pairing_config
+      best = None
+      for attempt in range(8):
+        rng_j = self.scene_rng(index, salt=100 + attempt)
+        shift = rng_j.uniform([-8, -8], [8, 8])
+        yaw = rng_j.uniform(-np.pi / 4, np.pi / 4)
+        r_j2i = yaw_matrix(np.array(yaw))
+        t_j2i_vec = np.array([*shift, 0.0])
+        rig_j = self._sample_map_views(rng_j)
+        cov_j = self._rig_coverage(
+            *rig_j, scene2common=(r_j2i, t_j2i_vec))
+        union = (cov_i | cov_j).sum()
+        overlap = float((cov_i & cov_j).sum() / max(union, 1))
+        candidate = (overlap, rig_j, r_j2i, t_j2i_vec)
+        if pairing.min_overlap <= overlap <= pairing.max_overlap:
+          best = candidate
+          break
+        # Keep the attempt closest to the window as a fallback.
+        mid = (pairing.min_overlap + pairing.max_overlap) / 2
+        if best is None or abs(overlap - mid) < abs(best[0] - mid):
+          best = candidate
+      overlap, rig_j, r_j2i, t_j2i_vec = best
+
+      scene_j, _ = self.make_map_scene(
+          index, **kwargs, world=world, rig_salt=4,
+          scene2world=(r_j2i, t_j2i_vec), rig=rig_j)
       scene_j['scene_id'] = scene_j['scene_id'] + '/j'
       return {
           'scene_i': scene_i,
           'scene_j': scene_j,
-          'T_j2i': t_j2i,
-          'overlap': np.float32(0.5),
+          'T_j2i': {
+              'R': r_j2i.astype(np.float32),
+              't': t_j2i_vec.astype(np.float32),
+          },
+          'overlap': np.float32(overlap),
           'time_delta_days': np.float32(0.0),
       }
     raise NotImplementedError(mode)

@@ -55,6 +55,28 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
   return jax.device_put(batch, sharding)
 
 
+def put_host_tree(tree: Any, shardings: Any) -> Any:
+  """Place a host-resident pytree (every process holds the FULL values).
+
+  Single-process: plain ``jax.device_put``. Multi-process: ``device_put`` to
+  a multi-host sharding needs cross-host transfer support, so each process
+  feeds its addressable shards from its full local copy via
+  ``jax.make_array_from_process_local_data`` (params/opt state are identical
+  across processes — deterministic init from a shared rng).
+  ``shardings`` is one Sharding or a matching pytree of them.
+  """
+  if jax.process_count() == 1:
+    return jax.device_put(tree, shardings)
+
+  def put(x, s):
+    x = np.asarray(x)
+    return jax.make_array_from_process_local_data(s, x, x.shape)
+
+  if isinstance(shardings, jax.sharding.Sharding):
+    return jax.tree_util.tree_map(lambda x: put(x, shardings), tree)
+  return jax.tree_util.tree_map(put, tree, shardings)
+
+
 def infer_param_shardings(
     params: Any, mesh: Mesh, min_dim: int = 256
 ) -> Any:

@@ -266,13 +266,19 @@ def _summarize(accumulated: list[AggregatedMetrics]) -> Dict[str, float]:
 
 
 class Chrono:
-  """Walltime accounting with pause/resume around non-step work."""
+  """Walltime accounting with pause/resume around non-step work.
 
-  def __init__(self):
+  ``first_step`` anchors resumed runs: steps/sec divides the steps taken in
+  *this* run by this run's active walltime, so a restart from step 100k does
+  not report inflated throughput.
+  """
+
+  def __init__(self, first_step: int = 0):
     self._start = time.monotonic()
     self._paused_at: Optional[float] = None
     self._paused_total = 0.0
-    self.steps = 0
+    self.first_step = first_step
+    self.steps = first_step
 
   def pause(self):
     if self._paused_at is None:
@@ -284,10 +290,10 @@ class Chrono:
       self._paused_at = None
 
   def tick(self, steps: int) -> float:
-    """Returns steps/sec of active (unpaused) time since start."""
+    """Returns steps/sec of active (unpaused) time in this run."""
     active = time.monotonic() - self._start - self._paused_total
     self.steps = steps
-    return steps / max(active, 1e-9)
+    return (steps - self.first_step) / max(active, 1e-9)
 
 
 def train(
@@ -349,14 +355,14 @@ def train(
   param_shardings = mesh_lib.infer_param_shardings(
       params, mesh, min_dim=config.get('tp_min_dim') or 256)
   train_state = TrainState(
-      global_step=jax.device_put(host_state['global_step'], repl),
-      params=jax.device_put(host_state['params'], param_shardings),
-      opt_state=jax.device_put(host_state['opt_state'], repl),
-      model_state=jax.device_put(host_state['model_state'], repl),
-      rng=jax.device_put(host_state['rng'], repl),
+      global_step=mesh_lib.put_host_tree(host_state['global_step'], repl),
+      params=mesh_lib.put_host_tree(host_state['params'], param_shardings),
+      opt_state=mesh_lib.put_host_tree(host_state['opt_state'], repl),
+      model_state=mesh_lib.put_host_tree(host_state['model_state'], repl),
+      rng=mesh_lib.put_host_tree(host_state['rng'], repl),
       tx=tx,
       dynamic_scale=(
-          jax.device_put(host_state['dynamic_scale'], repl)
+          mesh_lib.put_host_tree(host_state['dynamic_scale'], repl)
           if dynamic_scale is not None else None),
   )
   del host_state, params, model_state
@@ -393,7 +399,7 @@ def train(
   extra_logs: list[Dict[str, Any]] = []
   train_summary: Dict[str, float] = {}
   eval_summary: Dict[str, float] = {}
-  chrono = Chrono()
+  chrono = Chrono(first_step=start_step)
 
   if lead_host and writer is not None and start_step == 0:
     writer.write_scalars(1, {'num_trainable_params': num_params})

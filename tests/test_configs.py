@@ -47,7 +47,7 @@ def test_lr_field_references_propagate():
 def test_parse_argument_string():
   args = defaults.parse_argument_string('image_encoder=R101')
   assert args == {'image_encoder': 'R101', 'modalities': 'streetview+aerial',
-                  'pose_backend': 'ransac'}
+                  'pose_backend': 'ransac', 'scale': 'full'}
   with pytest.raises(ValueError):
     defaults.parse_argument_string('bogus=1')
 

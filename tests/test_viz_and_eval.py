@@ -105,3 +105,53 @@ def test_pair_scenes_mode():
   assert isinstance(b['T_j2i'], geometry.Transform3D)
   assert b['scene_i']['images'].shape[:2] == (2, 3)
   assert b['scene_j']['T_view2scene'].shape == (2, 3)
+
+
+def test_pair_scenes_independent_rigs_and_overlap():
+  """The two rigs differ; overlap reflects frustum-coverage intersection;
+  both scenes render the same shared world."""
+  import numpy as np
+  from snap_tpu.data import synthetic
+  from snap_tpu.data import types as data_types
+
+  gen = synthetic.SyntheticSceneGenerator(
+      scene_config=data_types.SceneConfig(num_views=6),
+      rasters_config=data_types.RastersConfig(resolution=0.5),
+      lidar_config=data_types.LidarConfig(num_rays=64),
+      image_hw=(24, 32),
+      voxel_size=0.5,
+      seed=7,
+  )
+  overlaps = []
+  for index in range(4):
+    ex = gen.make_example(index, data_types.DataMode.PAIR_SCENES,
+                          add_images=False, add_rasters=True)
+    ti, tj = ex['scene_i']['T_view2scene'], ex['scene_j']['T_view2scene']
+    # Independent rigs: poses differ even after mapping j into i's frame.
+    tj_in_i = ex['T_j2i']['t'][:2] + tj['t'][:, :2] @ ex['T_j2i']['R'][:2, :2].T
+    assert np.abs(tj_in_i - ti['t'][:, :2]).max() > 1.0
+    overlaps.append(float(ex['overlap']))
+
+    # Shared world: scene_j's raster, resampled at cell centers mapped into
+    # scene_i's frame, matches scene_i's raster (both sample one texture).
+    res = 0.5
+    rgb_i, rgb_j = ex['scene_i']['rasters']['rgb'], ex['scene_j']['rasters']['rgb']
+    nx, ny = rgb_j.shape[:2]
+    ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing='ij')
+    xy_j = (np.stack([ii, jj], -1) + 0.5) * res
+    xy_i = xy_j @ ex['T_j2i']['R'][:2, :2].T + ex['T_j2i']['t'][:2]
+    idx = np.round(xy_i / res - 0.5).astype(int)
+    valid = ((idx >= 0) & (idx < [nx, ny])).all(-1)
+    # Exclude box footprints (occupancy overrides texture with box colors,
+    # whose nearest-cell aliasing is binary) and compare texture cells only.
+    diff = np.abs(rgb_i[idx[..., 0].clip(0, nx - 1),
+                        idx[..., 1].clip(0, ny - 1)] - rgb_j)
+    med = np.median(diff[valid])
+    assert med < 0.15, med
+
+  # Overlap varies per example and is not the old hardcoded 0.5.
+  assert len(set(np.round(overlaps, 4))) > 1
+  assert all(0.0 < o < 1.0 for o in overlaps)
+  # The retry loop targets the PairingConfig window for most pairs.
+  in_window = [0.3 <= o <= 0.7 for o in overlaps]
+  assert sum(in_window) >= len(overlaps) // 2, overlaps
