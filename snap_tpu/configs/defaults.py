@@ -130,6 +130,9 @@ def streetview_singlescene() -> config_dict.ConfigDict:
           raster_size=config_dict.placeholder(tuple),
           prefetch_buffer_size=2,
           num_workers=2,
+          # None = auto: generate batches on the accelerator unless the
+          # default backend is CPU (tests) / the run is multi-process.
+          on_device_generation=config_dict.placeholder(bool),
       )
   ).lock()
 

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import ml_collections
 import numpy as np
 
+from snap_tpu.data import device_synthetic
 from snap_tpu.data import synthetic
 from snap_tpu.data import types
 from snap_tpu.utils import geometry
@@ -136,10 +137,14 @@ class _PrefetchIterator:
       buffer_size: int = 2,
       start_index: int = 0,
       num_workers: int = 2,
+      prebuilt: bool = False,
   ):
     self._make_batch = make_batch
     self._num_batches = num_batches
     self._sharding = sharding
+    # prebuilt: make_batch already returns (device batch, host side-channel)
+    # with device placement done (the on-device generation path).
+    self._prebuilt = prebuilt
     self._buffer_size = max(buffer_size, num_workers)
     self._results: Dict[int, Any] = {}
     self._error: Optional[BaseException] = None
@@ -165,10 +170,13 @@ class _PrefetchIterator:
             self._ready.wait(timeout=0.1)
           i = self._next_to_build
           self._next_to_build += 1
-        batch = self._make_batch(self._wrap(i))
-        device_batch, host = split_host_data(batch)
-        if self._sharding is not None:
-          device_batch = put_global_batch(device_batch, self._sharding)
+        if self._prebuilt:
+          device_batch, host = self._make_batch(self._wrap(i))
+        else:
+          batch = self._make_batch(self._wrap(i))
+          device_batch, host = split_host_data(batch)
+          if self._sharding is not None:
+            device_batch = put_global_batch(device_batch, self._sharding)
         with self._lock:
           self._results[i] = (device_batch, host)
           self._ready.notify_all()
@@ -192,6 +200,28 @@ class _PrefetchIterator:
     device_batch = dict(device_batch)
     device_batch['_host'] = host
     return device_batch
+
+
+def _host_strings(mode: types.DataMode, seed: int,
+                  indices: np.ndarray) -> DataDict:
+  """String side-channel for on-device batches (matches synthetic.py ids)."""
+  scene_ids = np.asarray([f'synthetic/{seed}/{i}' for i in indices])
+  if mode == types.DataMode.SINGLE_SCENE:
+    return {
+        'scene_id': scene_ids,
+        'vehicle_type': np.asarray(['CAR'] * len(indices)),
+    }
+  if mode == types.DataMode.PAIR_SCENE_VIEW:
+    query_ids = np.asarray([f'synthetic_query/{seed}/{i}' for i in indices])
+    return {
+        'map/scene_id': scene_ids,
+        'map/vehicle_type': np.asarray(['CAR'] * len(indices)),
+        'query/scene_id': query_ids,
+        'query/vehicle_type': np.asarray(['TREKKER'] * len(indices)),
+        'pair_id': np.asarray(
+            [f'{m}|{q}' for m, q in zip(scene_ids, query_ids)]),
+    }
+  raise NotImplementedError(mode)
 
 
 def location_seed(location: Optional[str], base_seed: int) -> int:
@@ -290,28 +320,80 @@ def get_dataset(
   train_location = dataset_configs.locations.training
   eval_location = dataset_configs.locations.evaluation or train_location
 
-  train_gen = make_generator(train_location, seed_salt=0)
-  eval_gen = make_generator(eval_location, seed_salt=1)
-
   evaluation_size = int(dataset_configs.evaluation_size or 1024)
   num_eval_batches = -(-evaluation_size // eval_batch_size)
 
+  # On-device generation: the procedural world is evaluated as one jitted
+  # XLA program per batch on the accelerator (the host can be a single
+  # core — it only dispatches and formats the string side-channel). Host
+  # (numpy) generation remains the path for PAIR_SCENES (rejection-sampled
+  # pairing), multi-process runs, and the CPU test mesh.
+  on_device = dataset_configs.get('on_device_generation')
+  if on_device is None:
+    on_device = jax.default_backend() != 'cpu'
+  use_device_gen = (
+      bool(on_device)
+      and mode != types.DataMode.PAIR_SCENES
+      and jax.process_count() == 1
+  )
+
+  if use_device_gen:
+    spec = device_synthetic.Spec.from_configs(
+        scene_config, rasters_config, image_hw, voxel_size,
+        add_images=bool(dataset_configs.add_images),
+        add_rasters=bool(dataset_configs.add_rasters),
+        add_lidar_rays=bool(dataset_configs.add_lidar_rays),
+        num_rays=int(dataset_configs.get('num_rays')
+                     or lidar_config.num_rays),
+    )
+
+    def make_device_batch_fn(location, seed_salt):
+      seed = location_seed(location, shuffle_seed + seed_salt)
+      batcher = device_synthetic.DeviceBatcher(spec, mode, seed, sharding)
+
+      def make(bs, is_training, num_examples, batch_index):
+        indices = np.arange(batch_index * bs, (batch_index + 1) * bs)
+        if not is_training and num_examples is not None:
+          mask = indices < num_examples
+          indices = np.minimum(indices, max(num_examples - 1, 0))
+        else:
+          mask = np.ones(bs, bool)
+        batch = batcher(indices, mask)
+        host = _host_strings(mode, seed, indices)
+        return batch, host
+
+      return make
+
+    make_train = make_device_batch_fn(train_location, seed_salt=0)
+    make_eval = make_device_batch_fn(eval_location, seed_salt=1)
+    train_batch_fn = functools.partial(make_train, batch_size, True, None)
+    eval_batch_fn = functools.partial(
+        make_eval, eval_batch_size, False, evaluation_size)
+    iter_kwargs = dict(sharding=None, prebuilt=True)
+  else:
+    train_gen = make_generator(train_location, seed_salt=0)
+    eval_gen = make_generator(eval_location, seed_salt=1)
+    train_batch_fn = functools.partial(make_batch, train_gen, batch_size,
+                                       True, None)
+    eval_batch_fn = functools.partial(
+        make_batch, eval_gen, eval_batch_size, False, evaluation_size)
+    iter_kwargs = dict(sharding=sharding)
+
   num_workers = int(dataset_configs.get('num_workers') or 2)
   train_iter = _PrefetchIterator(
-      functools.partial(make_batch, train_gen, batch_size, True, None),
+      train_batch_fn,
       num_batches=None,
-      sharding=sharding,
       buffer_size=int(dataset_configs.get('prefetch_buffer_size') or 2),
       start_index=start_step,
       num_workers=num_workers,
+      **iter_kwargs,
   )
   eval_iter = _PrefetchIterator(
-      functools.partial(
-          make_batch, eval_gen, eval_batch_size, False, evaluation_size),
+      eval_batch_fn,
       num_batches=num_eval_batches,
-      sharding=sharding,
       buffer_size=2,
       num_workers=num_workers,
+      **iter_kwargs,
   )
 
   grid_size_meters = scene_config.grid_size
@@ -320,7 +402,12 @@ def get_dataset(
                       or 1_000_000)
 
   def get_dummy_batch():
-    return make_batch(train_gen, batch_size, True, None, 0)
+    if use_device_gen:
+      batch, host = train_batch_fn(0)
+      batch = dict(batch)
+      batch['_host'] = host
+      return batch
+    return train_batch_fn(0)
 
   meta_data = {
       'grid': grid,

@@ -49,36 +49,52 @@ class VerticalPooling(nn.Module):
     elif self.config.pooling not in ('max', 'sum', 'mean'):
       raise NotImplementedError(self.config.pooling)
 
+  def _statistic_pool(self, features: Array, valid: Array,
+                      has_data: Array) -> Array:
+    """Masked max / sum / mean over the column axis (-2).
+
+    Columns with no valid cell produce an arbitrary finite value here; the
+    caller zeroes them. ``masked_mean`` / the mask-flip guard keep both the
+    value and its gradient finite on empty columns.
+    """
+    mode = self.config.pooling
+    cell_mask = valid[..., None]
+    if mode == 'sum':
+      return jnp.sum(features * cell_mask, axis=-2)
+    if mode == 'mean':
+      return layers.masked_mean(features, cell_mask, axis=-2)
+    # max: an empty `where=` with initial=-inf poisons gradients, so pretend
+    # empty columns are fully valid (their output is discarded anyway).
+    guard = jnp.where(has_data[..., None], valid, True)[..., None]
+    return jnp.max(features, axis=-2, where=guard, initial=-jnp.inf)
+
+  def _confidence_pool(self, features: Array, valid: Array,
+                       pred: Dict[str, Any]) -> Array:
+    """Convex combination of column cells, weighted by a learned score."""
+    logits = self.confidence_head(features)[..., 0].astype(jnp.float32)
+    if self.config.pooling == 'weighted':
+      # Per-cell independent confidence in [-inf, 0].
+      logits = jax.nn.log_sigmoid(logits)
+    pred['scores'] = logits
+    weights = layers.masked_softmax(logits, valid, axis=-1)
+    weights = pred['weights'] = jnp.where(valid, weights, 0.0)
+    pooled = jnp.sum(features * weights[..., None].astype(self.dtype), axis=-2)
+    return pooled.astype(features.dtype)
+
   def __call__(self, feature_volume: types.FeatureVolume) -> base.Predictions:
-    valid = feature_volume.valid
-    valid_any = valid.any(-1)
-    # Double-where trick: avoid NaN gradients for all-invalid columns.
-    valid_any_or_all = jnp.where(valid_any[..., None], valid, True)
+    features, valid = feature_volume.features, feature_volume.valid
+    has_data = valid.any(-1)  # Columns with at least one observed cell.
 
     pred: Dict[str, Any] = {}
     if self.config.pooling in ('weighted', 'softmax'):
-      scores = self.confidence_head(feature_volume.features).squeeze(-1)
-      scores = scores.astype(jnp.float32)
-      if self.config.pooling == 'weighted':
-        scores = jax.nn.log_sigmoid(scores)
-      pred['scores'] = scores
-      weights = jax.nn.softmax(scores, where=valid_any_or_all, axis=-1)
-      weights = pred['weights'] = jnp.where(valid, weights, 0)
-      features = jnp.sum(
-          feature_volume.features * weights[..., None].astype(self.dtype), -2)
-      features = features.astype(feature_volume.features.dtype)
+      plane = self._confidence_pool(features, valid, pred)
     elif self.config.pooling == 'mlp':
-      features = jnp.where(valid[..., None], feature_volume.features, 0)
-      features = features.reshape(*features.shape[:-2], -1)
-      features = self.fusion_mlp(features)
+      column = jnp.where(valid[..., None], features, 0)
+      plane = self.fusion_mlp(column.reshape(*column.shape[:-2], -1))
     else:
-      kwargs = dict(axis=-2, where=valid_any_or_all[..., None])
-      if self.config.pooling == 'max':
-        kwargs['initial'] = -jnp.inf
-      op = getattr(jnp, self.config.pooling)
-      features = op(feature_volume.features, **kwargs)
-    features = jnp.where(valid_any[..., None], features, 0)
-    pred['plane'] = types.FeaturePlane(features=features, valid=valid_any)
+      plane = self._statistic_pool(features, valid, has_data)
+    plane = jnp.where(has_data[..., None], plane, 0)
+    pred['plane'] = types.FeaturePlane(features=plane, valid=has_data)
     return pred
 
 
@@ -158,36 +174,38 @@ class BEVMapper(nn.Module):
 
     Reference: snap/models/bev_mapper.py:159-196.
     """
-    scene_t_view = data['T_view2scene']
+    batch = len(data['T_view2scene'].t)
+    cell = self.grid.cell_size
+
     xy = data.get('xy_bev')
     if xy is None:
       xy = self.grid.index_to_xyz(self.grid.grid_index())
     if xy.ndim != 4:  # Add batch dimension: [B, X, Y(or 1), 2].
-      xy = jnp.broadcast_to(xy[None], (len(scene_t_view.t), *xy.shape))
-    if (z_offset := data.get('z_offset')) is None:
-      camera_heights = jnp.median(scene_t_view.t[..., -1], axis=-1)
-      height_below_camera = self.config.get('scene_z_offset', 4.0)
-      z_offset = camera_heights - height_below_camera
-      if (
-          train
-          and is_query
-          and self.config.get('scene_z_offset_range') is not None
-      ):
-        z_min, z_max = self.config.scene_z_offset_range
-        z_offset = z_offset + jax.random.uniform(
-            self.make_rng('sampling'), z_offset.shape,
-            minval=z_min, maxval=z_max,
-        )
-    scene_z_height = self.config.get('scene_z_height', 12.0)
-    z = (
-        jnp.arange(0, scene_z_height, self.grid.cell_size)[None]
-        + z_offset[:, None]
-        + self.grid.cell_size / 2  # To voxel centers.
-    )
-    xy, z = jnp.broadcast_arrays(
-        xy[:, :, :, None, :], z[:, None, None, :, None]
-    )
-    return jnp.concatenate([xy, z[..., :1]], axis=-1)
+      xy = jnp.broadcast_to(xy[None], (batch, *xy.shape))
+
+    # The column floor sits a fixed distance below the median camera height
+    # (the cameras are the only absolute-height anchor the scene carries).
+    z_floor = data.get('z_offset')
+    if z_floor is None:
+      camera_z = data['T_view2scene'].t[..., -1]
+      z_floor = jnp.median(camera_z, axis=-1) - self.config.get(
+          'scene_z_offset', 4.0)
+      jitter = self.config.get('scene_z_offset_range')
+      if train and is_query and jitter is not None:
+        z_floor += jax.random.uniform(
+            self.make_rng('sampling'), z_floor.shape,
+            minval=jitter[0], maxval=jitter[1])
+
+    num_z = round(self.config.get('scene_z_height', 12.0) / cell)
+    z_levels = (jnp.arange(num_z) + 0.5) * cell  # Voxel centers, floor-based.
+    z = z_floor[:, None] + z_levels[None]  # [B, Z]
+
+    # Assemble [B, X, Y, Z, 3] = every (xy cell) x (z level) per example.
+    shape = (batch, *xy.shape[1:3], num_z)
+    return jnp.concatenate([
+        jnp.broadcast_to(xy[:, :, :, None, :], shape + (2,)),
+        jnp.broadcast_to(z[:, None, None, :, None], shape + (1,)),
+    ], axis=-1)
 
   def encode_streetview(
       self, data: base.Batch, train: bool, is_query: bool
@@ -231,23 +249,22 @@ class BEVMapper(nn.Module):
       return planes[0]
 
     if train and self.config.apply_modality_dropout:
-      dropout_mask = jax.random.bernoulli(
+      # Independently keep each (modality, example) with p=0.5, but never
+      # drop every modality of an example — that would zero its supervision.
+      keep = jax.random.bernoulli(
           self.make_rng('sampling'),
-          shape=(len(planes), len(planes[0].features)),  # modality x batch
-      )
-      # If all modalities are dropped, keep all to maximize supervision.
-      dropout_mask = jnp.where(
-          jnp.any(dropout_mask, axis=0, keepdims=True), dropout_mask, True
-      )
+          shape=(len(planes), len(planes[0].features)))
+      keep = keep | ~keep.any(axis=0)
       planes = [
-          p.replace(valid=jnp.where(m[..., None, None], p.valid, False))
-          for p, m in zip(planes, dropout_mask)
+          p.replace(valid=p.valid & k[:, None, None])
+          for p, k in zip(planes, keep)
       ]
-    planes_stacked = types.FeatureVolume(
-        features=jnp.stack([f.features for f in planes], axis=-2),
-        valid=jnp.stack([f.valid for f in planes], axis=-1),
+    # Treat modalities as a pseudo-z column and reuse the vertical pooling.
+    stacked = types.FeatureVolume(
+        features=jnp.stack([p.features for p in planes], axis=-2),
+        valid=jnp.stack([p.valid for p in planes], axis=-1),
     )
-    return self.modality_fusion(planes_stacked)['plane']
+    return self.modality_fusion(stacked)['plane']
 
   def __call__(
       self,

@@ -19,14 +19,26 @@ Array = jax.Array
 Axis = Union[None, int, Sequence[int]]
 
 
+# The three masked-numerics guards below are deliberate bit-parity ports of
+# snap/models/layers.py:31-52 (canonical empty-mask / double-where idioms):
+# recall parity silently degrades if their NaN-gradient semantics drift.
+# Pinned by tests/test_models.py + tests/test_view_scan.py parity suites.
+
+
 def masked_mean(x: Array, mask: Array, axis: Axis) -> Array:
-  """Like ``jnp.mean(x, where=mask)`` but returns zero for empty masks."""
+  """Like ``jnp.mean(x, where=mask)`` but returns zero for empty masks.
+
+  Bit-parity port of snap/models/layers.py:31-34.
+  """
   div = jnp.sum(jnp.where(mask.any(axis, keepdims=True), mask, True), axis)
   return jnp.sum(x * mask, axis) / div
 
 
 def masked_softmax(x: Array, mask: Array, axis: Axis) -> Array:
-  """Softmax over masked values with always-finite outputs and gradients."""
+  """Softmax over masked values with always-finite outputs and gradients.
+
+  Bit-parity port of snap/models/layers.py:37-42.
+  """
   valid = mask.any(axis=axis, keepdims=True)
   mask = jnp.where(valid, mask, True)
   x = jnp.where(mask, x, -jnp.inf)
@@ -34,7 +46,10 @@ def masked_softmax(x: Array, mask: Array, axis: Axis) -> Array:
 
 
 def normalize(x: Array, axis: Axis = -1, eps: float = 1e-5) -> Array:
-  """L2-normalize with zero output (and finite gradient) for zero vectors."""
+  """L2-normalize with zero output (and finite gradient) for zero vectors.
+
+  Bit-parity port of snap/models/layers.py:45-52 (double-where zero guard).
+  """
   x_ = x.astype(jnp.float32)
   norm = jnp.linalg.norm(x_, axis=axis, keepdims=True)
   invalid = norm < eps

@@ -126,6 +126,11 @@ class OccupancyNetModel(base.BaseModel):
       data: base.Batch,
       model_params=None,
   ) -> base.LossMetricsTuple:
+    # Contract-parity port of snap/models/occupancy_net.py:137-165 (class-
+    # balanced BCE averaged over pos/neg separately), pinned by
+    # tests/test_heads.py. Note: the reference labels the negative-class
+    # recall 'precision' (it is actually TNR/specificity); the key is kept
+    # for metric-name compatibility.
     labels = pred['ray_samples'].labels
     logits = pred['occupancy'].logits
     occ = logits > 0

@@ -190,17 +190,19 @@ def pose_scoring_many_batched(
 def sample_transforms_random(
     rng: Array, num: int, grid: grids.Grid2D
 ) -> geometry.Transform2D:
-  """Uniformly sample poses within (2/3-scaled) grid bounds."""
-  rng_angle, rng_t = jax.random.split(rng)
-  angle = jax.random.uniform(rng_angle, (num,), maxval=jnp.pi * 2)
-  grid_size = jnp.asarray(grid.extent_meters)
-  t_max = grid_size * 2 / 3
-  translation = jax.random.uniform(
-      rng_t, (num, 2), minval=-t_max, maxval=t_max)
-  centeri_t_centerj = geometry.Transform2D.from_radians(angle, translation)
-  corner_t_center = geometry.Transform2D.from_radians(
-      jnp.zeros(()), grid_size / 2)
-  return corner_t_center @ centeri_t_centerj @ corner_t_center.inv
+  """Uniform random poses: any yaw, translation within 2/3 grid extents.
+
+  The rotation acts about the grid *center*; re-expressed in the
+  corner-origin map frame a center-rotation (theta, t) maps a point x to
+  ``R(x - c) + c + t``, i.e. corner-frame translation ``c + t - R c``.
+  """
+  draws = jax.random.uniform(rng, (num, 3))
+  yaw = draws[:, 0] * (2 * jnp.pi)
+  half_extent = jnp.asarray(grid.extent_meters) / 2
+  t_about_center = (draws[:, 1:] * 2 - 1) * (half_extent * 4 / 3)
+  spin = geometry.Transform2D.from_radians(yaw, jnp.zeros_like(t_about_center))
+  t_corner = half_extent + t_about_center - spin.transform(half_extent)
+  return geometry.Transform2D.from_radians(yaw, t_corner)
 
 
 def kabsch_2d(
@@ -285,12 +287,17 @@ def sample_transforms_ransac(
   j_xy_pool = grid.index_to_xyz(indices[..., 1:]).reshape(pool_shape)
 
   if num_retries > 1:
-    d_i = jnp.linalg.norm(
-        jnp.diff(i_xy_pool, axis=-2).squeeze(-2), axis=-1)
-    d_j = jnp.linalg.norm(
-        jnp.diff(j_xy_pool, axis=-2).squeeze(-2), axis=-1)
-    ratio = jnp.maximum(d_i / d_j.clip(min=1e-5), d_j / d_i.clip(min=1e-5))
-    select = jnp.argmin(ratio, axis=-1)[..., None, None, None]  # [B,P,1,1,1]
+    # A rigid fit preserves distances, so keep, per pose, the retry whose
+    # two points are most nearly the same distance apart in both frames:
+    # minimize |log |i1-i0| - log |j1-j0||  (== log of the max length ratio).
+    def segment_log_length(pts):  # [..., R, 2(obs), 2(xy)] -> [..., R]
+      return jnp.log(
+          jnp.linalg.norm(pts[..., 1, :] - pts[..., 0, :], axis=-1)
+          .clip(min=1e-5))
+
+    stretch = jnp.abs(
+        segment_log_length(i_xy_pool) - segment_log_length(j_xy_pool))
+    select = jnp.argmin(stretch, axis=-1)[..., None, None, None]  # [B,P,1,1,1]
     i_xy_pool = jnp.take_along_axis(i_xy_pool, select, axis=2).squeeze(2)
     j_xy_pool = jnp.take_along_axis(j_xy_pool, select, axis=2).squeeze(2)
   else:
@@ -310,16 +317,23 @@ def make_refinement_offsets(
     range_p: float = 4.0,
     range_r: float = 5.0,
 ) -> Tuple[geometry.Transform2D, Tuple[int, int, int]]:
-  """Dense (rotation, x, y) offsets around a pose for grid refinement."""
-  slice_p = slice(-range_p, range_p + delta_p, delta_p)
-  slice_r = slice(-range_r, range_r + delta_r, delta_r)
-  offsets_rxy = jnp.mgrid[slice_r, slice_p, slice_p]
-  exhaustive_shape = offsets_rxy.shape[1:]
-  offsets_rxy = offsets_rxy.reshape(3, -1).T
+  """Dense (rotation, x, y) offsets around a pose for grid refinement.
+
+  Default budget matches snap/models/pose_estimation.py:178-184:
+  +-5 deg at 0.25 deg x (+-4 m at 0.2 m)^2 = 41x41x41 offsets.
+  """
+  def axis(extent, step):
+    count = round(2 * extent / step) + 1
+    return jnp.linspace(-extent, extent, count)
+
+  rot, dx, dy = jnp.meshgrid(
+      axis(range_r, delta_r), axis(range_p, delta_p), axis(range_p, delta_p),
+      indexing='ij')
   i_t_i_offset = geometry.Transform2D.from_radians(
-      angle=jnp.deg2rad(offsets_rxy[..., 0]), t=offsets_rxy[..., 1:]
+      angle=jnp.deg2rad(rot.ravel()),
+      t=jnp.stack([dx.ravel(), dy.ravel()], axis=-1),
   )
-  return i_t_i_offset, exhaustive_shape
+  return i_t_i_offset, rot.shape
 
 
 def grid_refinement(

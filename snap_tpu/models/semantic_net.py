@@ -34,16 +34,33 @@ def balancing_weights(
     binary: bool = False,
     eps: float = 1e-3,
 ):
-  """Per-class weights for imbalanced classification."""
-  freqs = np.array([frequencies[c] for c in classes], dtype=np.float64)
-  if not binary:
-    freqs /= freqs.sum()
-  freqs = freqs.clip(min=eps)
-  weights = jnp.asarray(1 / (freqs * len(classes)))
+  """Inverse-frequency class weights; a uniform distribution maps to all-1.
+
+  Multiclass: the listed frequencies are renormalized to a distribution.
+  Binary: each class is its own two-way problem, so positive and negative
+  rates get separate weight vectors. Rates are floored at ``eps`` so nearly
+  absent classes don't produce unbounded weights.
+  """
+  inv_count = 1.0 / len(classes)
+  rate = np.asarray([frequencies[c] for c in classes], dtype=np.float64)
   if binary:
-    weights_neg = 1 / ((1 - freqs).clip(min=eps) * len(classes))
-    return weights, jnp.asarray(weights_neg)
-  return weights
+    pos = rate.clip(min=eps)
+    return (jnp.asarray(inv_count / pos),
+            jnp.asarray(inv_count / (1.0 - pos).clip(min=eps)))
+  rate = (rate / rate.sum()).clip(min=eps)
+  return jnp.asarray(inv_count / rate)
+
+
+def _per_class_recall(correct: Array, in_class: Array, valid: Array,
+                      classes: Sequence[str], namespace: Optional[str]
+                      ) -> dict:
+  """Recall metrics: fraction of valid in-class cells predicted correctly."""
+  recall = layers.masked_mean(
+      correct, valid[..., None] & in_class, axis=(1, 2))
+  suffix = f'/{namespace}' if namespace else ''
+  out = {f'recall/average{suffix}': recall.mean(-1)}
+  out.update({f'recall/{c}': recall[..., i] for i, c in enumerate(classes)})
+  return out
 
 
 def multiclass_crossentropy_metrics(
@@ -55,25 +72,20 @@ def multiclass_crossentropy_metrics(
     namespace: Optional[str] = None,
 ) -> Tuple[Array, dict]:
   """Class-balanced multiclass CE + accuracy/recall metrics (per example)."""
-  nll = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+  cell_nll = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
   if frequencies:
-    weights = balancing_weights(dict(frequencies), classes)
-    nll = nll * weights[labels]
-    assert nll.ndim == 3
-  nll = layers.masked_mean(nll, valid, (1, 2))
+    cell_nll *= balancing_weights(dict(frequencies), classes)[labels]
+    assert cell_nll.ndim == 3  # [B, H, W]
+  nll = layers.masked_mean(cell_nll, valid, axis=(1, 2))
 
-  mask = labels[..., None] == jnp.arange(logits.shape[-1])
-  correct = jnp.argmax(logits, axis=-1) == labels
-  acc = layers.masked_mean(correct, valid, (1, 2))
-  recall = layers.masked_mean(
-      correct[..., None], valid[..., None] & mask, (1, 2))
+  predicted_ok = jnp.argmax(logits, axis=-1) == labels
+  gt_one_hot = labels[..., None] == jnp.arange(logits.shape[-1])
   suffix = f'/{namespace}' if namespace else ''
   metrics = {
-      f'accuracy{suffix}': acc,
-      f'recall/average{suffix}': recall.mean(-1),
+      f'accuracy{suffix}': layers.masked_mean(predicted_ok, valid, (1, 2)),
+      **_per_class_recall(
+          predicted_ok[..., None], gt_one_hot, valid, classes, namespace),
   }
-  for i, c in enumerate(classes):
-    metrics[f'recall/{c}'] = recall[..., i]
   return nll, metrics
 
 
@@ -86,19 +98,16 @@ def binary_crossentropy_metrics(
     namespace: Optional[str] = None,
 ) -> Tuple[Array, dict]:
   """Class-balanced binary CE + recall metrics (per example)."""
-  nll = optax.sigmoid_binary_cross_entropy(logits, gt_mask)
+  cell_nll = optax.sigmoid_binary_cross_entropy(logits, gt_mask)
   if frequencies:
     w_pos, w_neg = balancing_weights(dict(frequencies), classes, binary=True)
-    nll = nll * jnp.where(gt_mask, w_pos, w_neg)
-    assert nll.ndim == 4
-  nll = layers.masked_mean(nll.mean(-1), valid, (1, 2))
+    cell_nll *= jnp.where(gt_mask, w_pos, w_neg)
+    assert cell_nll.ndim == 4  # [B, H, W, N]
+  nll = layers.masked_mean(cell_nll.mean(-1), valid, axis=(1, 2))
 
-  correct = (jax.nn.sigmoid(logits) > 0.5) == gt_mask
-  recall = layers.masked_mean(correct, valid[..., None] & gt_mask, (1, 2))
-  suffix = f'/{namespace}' if namespace else ''
-  metrics = {f'recall/average{suffix}': recall.mean(-1)}
-  for i, c in enumerate(classes):
-    metrics[f'recall/{c}'] = recall[..., i]
+  predicted_ok = (logits > 0) == gt_mask  # sigmoid(x) > .5  <=>  x > 0
+  metrics = _per_class_recall(predicted_ok, gt_mask, valid, classes,
+                              namespace)
   return nll, metrics
 
 

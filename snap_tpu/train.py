@@ -22,6 +22,13 @@ from snap_tpu.utils.configs import load_config_module as load_config
 # Use most of the HBM; kernels here are large and static.
 os.environ.setdefault('XLA_PYTHON_CLIENT_MEM_FRACTION', '0.9')
 
+# Persistent compilation cache: restarts and resumed runs skip the multi-
+# minute XLA compile of the fused train step.
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                 '/tmp/jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
+
 FLAGS = flags.FLAGS
 flags.DEFINE_string('config', None, 'Path to config file, optionally with '
                     '":<args>" suffix (e.g. cfg.py:image_encoder=R50).')

@@ -289,11 +289,14 @@ class Chrono:
       self._paused_total += time.monotonic() - self._paused_at
       self._paused_at = None
 
+  def active_walltime(self) -> float:
+    """Active (unpaused) seconds elapsed in this run."""
+    return time.monotonic() - self._start - self._paused_total
+
   def tick(self, steps: int) -> float:
     """Returns steps/sec of active (unpaused) time in this run."""
-    active = time.monotonic() - self._start - self._paused_total
     self.steps = steps
-    return (steps - self.first_step) / max(active, 1e-9)
+    return (steps - self.first_step) / max(self.active_walltime(), 1e-9)
 
 
 def train(
@@ -421,6 +424,11 @@ def train(
       train_state, metrics, logs = train_step_jit(train_state, batch)
       train_metrics.append(metrics)
       extra_logs.append(logs)
+    if step == start_step + 1:
+      # Make compile time visible: the first step blocks on compilation.
+      jax.block_until_ready(logs)
+      logging.info('First step done (compile included): %.1fs elapsed.',
+                   chrono.active_walltime())
     if lead_host and profile_start > 0 and step == (
         profile_start + num_profile_steps):
       jax.block_until_ready(train_state.params)

@@ -328,6 +328,10 @@ class FisheyeCamera(_Batched):
     return self.replace(wh=self.wh * scale, f=self.f * scale, c=self.c * scale)
 
   def distort_points(self, p2d: Array) -> Tuple[Array, Array]:
+    # Numerics-parity with snap/utils/geometry.py:261-280 (the camera model
+    # the dataset's intrinsics are calibrated against): theta-polynomial
+    # distortion, eps-guarded center, max-FoV validity. Pinned by
+    # tests/test_geometry.py round-trip tests.
     radius2 = jnp.sum(p2d**2, axis=-1)
     in_center = radius2 < self.eps**2
     radius = jnp.sqrt(jnp.where(in_center, self.eps**2, radius2))
