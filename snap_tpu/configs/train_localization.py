@@ -78,13 +78,15 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
 
   if small:
     # From-scratch convergence on synthetic data: short schedule, higher lr.
-    config.checkpoint_steps = 2_000
+    # Checkpoint often: single-chip runs share the chip with benchmarks and
+    # resume from the latest step after a pause.
+    config.checkpoint_steps = 1_000
     config.log_summary_steps = 100
     config.log_eval_steps = 2_000
     config.steps_per_eval = 8
-    config.num_training_steps = 30_000
+    config.num_training_steps = 20_000
     config.lr_configs.warmup_steps = 1_000
-    config.lr_configs.start_decay_step = 5_000
+    config.lr_configs.start_decay_step = 4_000
     config.lr_configs.base_learning_rate = 5e-4
     config.lr_configs.factors = 'constant * linear_warmup * cosine_decay'
     config.lr_configs.steps_per_cycle = config.get_ref(

@@ -177,15 +177,33 @@ def template_matching_fft(
   out_h, out_w = h + hq - 1, w + wq - 1
   m_pad = jnp.pad(m, ((hq - 1,) * 2, (wq - 1,) * 2, (0, 0)), mode='edge')
   big_h, big_w = m_pad.shape[:2]
-  fft_h = _next_fast_len(big_h + hq - 1)
-  fft_w = _next_fast_len(big_w + wq - 1)
+  # Circular correlation out[a] = sum_u q[u] m[(a+u) mod N] is wrap-free for
+  # a <= N - hq; we read a in [0, out_h) = [0, big_h - hq], so N = big_h
+  # already suffices — no extra linear-conv margin needed.
+  fft_h = _next_fast_len(big_h)
+  fft_w = _next_fast_len(big_w)
 
   mf = jnp.fft.rfft2(m_pad.astype(jnp.float32), s=(fft_h, fft_w), axes=(0, 1))
-  qf = jnp.fft.rfft2(q.astype(jnp.float32), s=(fft_h, fft_w), axes=(1, 2))
-  # Correlation <-> conjugate product; sum over the feature channel.
-  prod = (jnp.conj(qf) * mf[None]).sum(-1)
-  corr = jnp.fft.irfft2(prod, s=(fft_h, fft_w), axes=(1, 2))
-  scores = corr[:, :out_h, :out_w]
+
+  # Chunk the rotation axis: the [R, fft_h, fft_w, D] template spectrum is
+  # by far the largest tensor of the whole model (GBs at eval scale);
+  # lax.map keeps the working set to one chunk while XLA pipelines chunks.
+  chunk = max(1, min(r, 8))
+  pad_r = (-r) % chunk
+  q_chunks = jnp.concatenate(
+      [q, jnp.zeros((pad_r, *q.shape[1:]), q.dtype)]) if pad_r else q
+  q_chunks = q_chunks.reshape(-1, chunk, hq, wq, d)
+
+  def correlate_chunk(q_c):
+    qf = jnp.fft.rfft2(
+        q_c.astype(jnp.float32), s=(fft_h, fft_w), axes=(1, 2))
+    # Correlation <-> conjugate product; contract the feature channel.
+    prod = jnp.einsum('rxyd,xyd->rxy', jnp.conj(qf), mf)
+    corr = jnp.fft.irfft2(prod, s=(fft_h, fft_w), axes=(1, 2))
+    return corr[:, :out_h, :out_w]
+
+  scores = jax.lax.map(correlate_chunk, q_chunks)
+  scores = scores.reshape(-1, out_h, out_w)[:r]
 
   if min_overlap is not None:
     # The valid-count correlation uses the *unpadded* map mask, zero-padded
@@ -197,7 +215,7 @@ def template_matching_fft(
         q_valid.astype(jnp.float32), s=(fft_h, fft_w), axes=(1, 2))
     num_valid = jnp.fft.irfft2(
         jnp.conj(qvf) * mvf[None], s=(fft_h, fft_w), axes=(1, 2)
-    )[:, :out_h, :out_w]
+    )[:, :out_h, :out_w]  # wrap-free for the same reason as the scores
     num_valid = jnp.round(num_valid)  # counts are integers up to fp noise
     threshold = min_overlap * math.prod(q_valid.shape[-2:])
     if return_raw:

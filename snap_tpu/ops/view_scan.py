@@ -361,15 +361,29 @@ def pool_views_stream(
   f_max = jnp.full((b, n, dim), -jnp.inf, acc)
   count = jnp.zeros((b, n), acc)
 
+  # Select per-rank (p2d, vis, depth) via a masked reduce over the small V
+  # axis instead of take_along_axis: a [B, N] element gather costs ~as much
+  # as the whole 2x2xD patch gather on TPU (descriptor-bound), while the
+  # [B, N, K, V] select-and-sum fuses into cheap VPU work and its backward
+  # is dense too. Exact: each (n, k) row has exactly one True.
+  rank_is_view = (
+      view_indices[..., :, None] == jnp.arange(v)[None, None, None])
+
+  def pick(x):  # [B, N, V, ...] -> [B, N, K, ...]
+    mask = rank_is_view.reshape(b, n, top_k, v, *(1,) * (x.ndim - 3))
+    return jnp.sum(jnp.where(mask, x[:, :, None], 0), axis=3)
+
+  p2d_sel = pick(p2d_all)  # [B, N, K, 2]
+  vis_sel = jnp.any(rank_is_view & vis_all[:, :, None], axis=-1)  # [B, N, K]
+  depth_sel = pick(depth_all)  # [B, N, K]
+  idx_sel = view_indices  # [B, N, K]
+
   size = jnp.asarray([h, w], p2d_all.dtype)
   for k in range(top_k):
-    idx_k = view_indices[..., k]  # [B, N]
-    take = lambda x: jnp.take_along_axis(
-        x, idx_k[..., None].reshape(b, n, 1, *(1,) * (x.ndim - 3)), axis=2
-    ).squeeze(2)
-    p2d = take(p2d_all)  # [B, N, 2]
-    select = take(vis_all)
-    depth = take(depth_all)
+    idx_k = idx_sel[..., k]  # [B, N]
+    p2d = p2d_sel[..., k, :]
+    select = vis_sel[..., k]
+    depth = depth_sel[..., k]
 
     pts = jnp.clip(p2d - 0.5, 0, size - 1)
     lower = jnp.floor(pts).astype(jnp.int32)

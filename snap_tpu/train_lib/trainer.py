@@ -398,8 +398,6 @@ def train(
       np.ceil(dataset.meta_data['num_eval_examples'] / eval_batch_size))
   steps_per_eval = config.get('steps_per_eval') or total_eval_steps
 
-  train_metrics: list[AggregatedMetrics] = []
-  extra_logs: list[Dict[str, Any]] = []
   train_summary: Dict[str, float] = {}
   eval_summary: Dict[str, float] = {}
   chrono = Chrono(first_step=start_step)
@@ -414,6 +412,31 @@ def train(
       start_step + 3 + num_profile_steps <= total_steps):
     profile_start = start_step + 3
 
+  # Metrics accumulate ON DEVICE between summaries (reference:
+  # snap/trainer.py:524-533): one tiny jitted add per step, one small
+  # device_get per summary. Fetching per-step metric scalars would pay the
+  # host<->device round-trip for every buffer — ruinous on a remote tunnel.
+  log_mean_keys = ('l2_grads', 'l2_updates', 'l2_params', 'learning_rate')
+
+  @functools.partial(jax.jit, donate_argnums=(0,))
+  def _accumulate(acc, metrics, logs):
+    finite = jnp.asarray(logs.get('is_finite', True), jnp.float32)
+    return {
+        'metrics': jax.tree_util.tree_map(jnp.add, acc['metrics'], metrics),
+        'logs': {k: acc['logs'][k] + finite * logs[k] for k in acc['logs']},
+        'n_finite': acc['n_finite'] + finite,
+    }
+
+  def _zero_acc(metrics, logs):
+    return {
+        'metrics': jax.tree_util.tree_map(
+            lambda x: jnp.zeros((), jnp.float32), metrics),
+        'logs': {k: jnp.zeros((), jnp.float32)
+                 for k in log_mean_keys if k in logs},
+        'n_finite': jnp.zeros((), jnp.float32),
+    }
+
+  acc = None
   logging.info('Starting training loop at step %d.', start_step + 1)
   for step in range(start_step + 1, total_steps + 1):
     if lead_host and step == profile_start:
@@ -422,8 +445,9 @@ def train(
       batch = next(dataset.train_iter)
       batch.pop('_host', None)
       train_state, metrics, logs = train_step_jit(train_state, batch)
-      train_metrics.append(metrics)
-      extra_logs.append(logs)
+      if acc is None:
+        acc = _zero_acc(metrics, logs)
+      acc = _accumulate(acc, metrics, logs)
     if step == start_step + 1:
       # Make compile time visible: the first step blocks on compilation.
       jax.block_until_ready(logs)
@@ -435,14 +459,20 @@ def train(
       jax.profiler.stop_trace()
 
     if (step % log_summary_steps == 0) or (step == total_steps):
+      # Drain the dispatch queue before stopping the clock: steps are
+      # dispatched asynchronously, so queued device work must count as
+      # active time or steps/sec reports the dispatch rate, not compute.
+      jax.block_until_ready(logs)
       chrono.pause()
       steps_per_sec = chrono.tick(step)
-      summary = _summarize(train_metrics)
-      host_logs = jax.device_get(extra_logs)
-      host_logs = [l for l in host_logs if bool(l.get('is_finite', True))]
-      for k in ('l2_grads', 'l2_updates', 'l2_params', 'learning_rate'):
-        if host_logs:
-          summary[k] = float(np.mean([l[k] for l in host_logs]))
+      acc_host = jax.device_get(acc)
+      summary = {
+          k: float(s) / max(float(c), 1.0)
+          for k, (s, c) in acc_host['metrics'].items()
+      }
+      n_finite = max(float(acc_host['n_finite']), 1.0)
+      for k, v in acc_host['logs'].items():
+        summary[k] = float(v) / n_finite
       summary['steps_per_sec'] = steps_per_sec
       train_summary = summary
       if lead_host and writer is not None:
@@ -450,7 +480,7 @@ def train(
             step, {f'train/{k}': v for k, v in summary.items()})
       logging.info('[%d] %s', step, {k: round(v, 5)
                                      for k, v in summary.items()})
-      train_metrics, extra_logs = [], []
+      acc = None
       chrono.resume()
 
     if (step % log_eval_steps == 0) or (step == total_steps):

@@ -69,3 +69,13 @@ for i in range(8):
     jax.block_until_ready(l)
     times.append(time.time()-t0)
 print(f'train step (fixed batch): {min(times)*1000:.0f} ms min, {sum(times)/len(times)*1000:.0f} ms avg', flush=True)
+
+# 3) generation-only throughput on device
+import numpy as _np
+gen_iter = dataset.train_iter
+t0 = time.time()
+for i in range(20):
+    bb = next(gen_iter)
+jax.block_until_ready({k: v for k, v in bb.items() if k != '_host'})
+dt = (time.time()-t0)/20
+print(f'device generation (incl dispatch): {dt*1000:.0f} ms/batch', flush=True)
