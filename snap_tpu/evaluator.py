@@ -25,6 +25,7 @@ from snap_tpu import models
 from snap_tpu.configs import defaults as default_configs
 from snap_tpu.data import loader as data_loader
 from snap_tpu.models import base
+from snap_tpu.parallel import mesh as mesh_lib
 from snap_tpu.train_lib import checkpoints
 from snap_tpu.utils import configs as config_utils
 from snap_tpu.utils import geometry
@@ -104,8 +105,19 @@ def eval_on_dataset(
     dataset: data_loader.Dataset,
     rng: jax.Array,
     batch_size: int,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> ResultDict:
-  """Run eval over the valid split; returns stacked per-example metrics."""
+  """Run eval over the valid split; returns stacked per-example metrics.
+
+  With a mesh, the batch axis is sharded over 'data' and XLA SPMD runs the
+  eval step on all devices — the reference protocol is single-device
+  (snap/evaluator.py:282-283), but the 6-city x 4096-example protocol is
+  embarrassingly parallel over examples.
+  """
+  if mesh is not None:
+    repl = mesh_lib.replicated(mesh)
+    params = mesh_lib.put_host_tree(params, repl)
+    model_state = mesh_lib.put_host_tree(model_state, repl)
   eval_step_jit = jax.jit(functools.partial(eval_step, rng=rng, model=model))
   results = []
   num_examples = dataset.meta_data['num_eval_examples']
@@ -154,10 +166,17 @@ def get_model_and_dataset(
     config.data.locations.training = location
     config.data.locations.evaluation = location
 
+  # Shard eval over the data axis when the batch divides the device count.
+  mesh = None
+  if jax.device_count() > 1 and eval_config.batch_size % jax.device_count(
+  ) == 0:
+    mesh = mesh_lib.make_mesh(None)
+
   dataset = data_loader.get_dataset(
       batch_size=eval_config.batch_size,
       eval_batch_size=eval_config.batch_size,
       dataset_configs=config.data,
+      mesh=mesh,
       shuffle_seed=eval_config.data.rng_seed,
   )
 
@@ -177,7 +196,7 @@ def get_model_and_dataset(
 
   logging.info('Loaded experiment %s at step %s.',
                workdir, raw.get('global_step'))
-  return model, params, model_state, dataset, config
+  return model, params, model_state, dataset, config, mesh
 
 
 def write_eval_dump(
@@ -225,13 +244,14 @@ def run_for_location(
     return read_eval_dump(eval_path)
   if fail_if_missing:
     raise ValueError(f'Missing dump for {workdir} at {eval_path}.')
-  model, params, model_state, dataset, config = get_model_and_dataset(
+  model, params, model_state, dataset, config, mesh = get_model_and_dataset(
       eval_config, experiment_config, workdir, location
   )
   results = eval_on_dataset(
       model, params, model_state, dataset,
       jax.random.PRNGKey(eval_config.rng_seed),
       eval_config.batch_size,
+      mesh=mesh,
   )
   write_eval_dump(eval_path, results, config)
   logging.info('Evaluation results written to %s.', eval_path)

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import ml_collections
 
+from snap_tpu.parallel import mesh as mesh_lib
+
 Array = jax.Array
 Axis = Union[None, int, Sequence[int]]
 
@@ -80,4 +82,8 @@ class MLP(nn.Module):
       if i > 0 or self.config.apply_input_activation:
         x = activation(x)
       x = dense_layer(d)(x)
+      # TP: wide hidden activations live sharded over the 'model' axis next
+      # to their column-sharded kernels (no-op off-mesh / under pure DP).
+      if d >= 256:
+        x = mesh_lib.constrain(x, 'model')
     return x

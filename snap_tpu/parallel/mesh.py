@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 import ml_collections
 import numpy as np
@@ -75,6 +76,30 @@ def put_host_tree(tree: Any, shardings: Any) -> Any:
   if isinstance(shardings, jax.sharding.Sharding):
     return jax.tree_util.tree_map(lambda x: put(x, shardings), tree)
   return jax.tree_util.tree_map(put, tree, shardings)
+
+
+def constrain(x: Any, *spec: Optional[str]) -> Any:
+  """Ambient-mesh activation sharding constraint; no-op off-mesh.
+
+  ``spec`` names one mesh axis (or None) per trailing dimension of ``x``;
+  leading dims are unconstrained. Axes missing from the ambient mesh (set
+  with ``jax.set_mesh``) or of size 1 are dropped, so model code can state
+  its TP layout unconditionally: under pure DP this compiles away.
+
+  Example: ``constrain(h, 'model')`` shards an activation's last (feature)
+  dim over the 'model' axis next to a tensor-parallel Dense kernel.
+  """
+  mesh = jax.sharding.get_abstract_mesh()
+  axis_sizes = getattr(mesh, 'shape', None) or {}
+  spec = tuple(
+      s if s is not None and axis_sizes.get(s, 1) > 1 else None
+      for s in spec)
+  if not any(s is not None for s in spec):
+    return x
+  ndim = jnp.ndim(x)
+  full = jax.sharding.PartitionSpec(
+      *([None] * (ndim - len(spec)) + list(spec)))
+  return jax.lax.with_sharding_constraint(x, full)
 
 
 def infer_param_shardings(

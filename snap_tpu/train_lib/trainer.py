@@ -18,6 +18,8 @@ TPU-native replacement for the reference's pmap trainer (snap/trainer.py):
 from __future__ import annotations
 
 import functools
+import json
+import pathlib
 import time
 from typing import Any, Callable, Dict, Optional, Tuple, Type
 
@@ -301,6 +303,33 @@ class Chrono:
 
 def train(
     *,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    **kwargs,
+) -> Tuple[TrainState, Dict[str, float], Dict[str, float]]:
+  """Main training loop. Returns (state, train_summary, eval_summary)."""
+  if mesh is None:
+    mesh = mesh_lib.make_mesh(kwargs['config'].get('mesh'))
+  return _train(mesh=mesh, **kwargs)
+
+
+def _under_mesh(fn: Callable, mesh: jax.sharding.Mesh) -> Callable:
+  """Trace/execute ``fn`` with ``mesh`` as JAX's ambient mesh.
+
+  In-model activation sharding constraints (``mesh_lib.constrain``) bind to
+  the ambient mesh; with model=1 they compile away. Scoped per call because
+  a global mesh context forbids the host-side (backend='cpu') init jits.
+  """
+
+  @functools.wraps(fn)
+  def wrapped(*args, **kw):
+    with jax.set_mesh(mesh):
+      return fn(*args, **kw)
+
+  return wrapped
+
+
+def _train(
+    *,
     rng: jax.Array,
     config: ml_collections.ConfigDict,
     model_cls: Type[base.BaseModel],
@@ -309,11 +338,8 @@ def train(
     writer: Optional[Any] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Tuple[TrainState, Dict[str, float], Dict[str, float]]:
-  """Main training loop. Returns (state, train_summary, eval_summary)."""
   lead_host = jax.process_index() == 0
   dtype = getattr(jnp, config.dtype_str)
-  if mesh is None:
-    mesh = mesh_lib.make_mesh(config.get('mesh'))
 
   model = model_cls(config.model, dataset.meta_data, dtype)
 
@@ -370,7 +396,7 @@ def train(
   )
   del host_state, params, model_state
 
-  train_step_jit = jax.jit(
+  train_step_jit = _under_mesh(jax.jit(
       functools.partial(
           train_step,
           flax_model=model.flax_model,
@@ -379,15 +405,15 @@ def train(
           has_model_state=has_model_state,
       ),
       donate_argnums=(0, 1),
-  )
-  eval_step_jit = jax.jit(
+  ), mesh)
+  eval_step_jit = _under_mesh(jax.jit(
       functools.partial(
           eval_step,
           flax_model=model.flax_model,
           loss_metrics_fn=model.loss_metrics_function,
       ),
       donate_argnums=(1,),
-  )
+  ), mesh)
 
   total_steps = config.num_training_steps
   log_eval_steps = config.get('log_eval_steps') or 1000
@@ -480,6 +506,22 @@ def train(
             step, {f'train/{k}': v for k, v in summary.items()})
       logging.info('[%d] %s', step, {k: round(v, 5)
                                      for k, v in summary.items()})
+      if lead_host:
+        # Work-unit progress note (reference: CLU ReportProgress + platform
+        # notes, snap/trainer.py:495-504): percent done + ETA, both logged
+        # and dropped as workdir/progress.json for external monitors.
+        eta = (total_steps - step) / max(steps_per_sec, 1e-9)
+        logging.info('Progress: %.1f%% (step %d/%d), %.2f steps/s, ETA %dm.',
+                     100 * step / total_steps, step, total_steps,
+                     steps_per_sec, eta / 60)
+        try:
+          (pathlib.Path(workdir) / 'progress.json').write_text(json.dumps(
+              dict(step=step, total_steps=total_steps,
+                   percent=round(100 * step / total_steps, 2),
+                   steps_per_sec=round(steps_per_sec, 4),
+                   eta_seconds=round(eta, 1))))
+        except OSError as e:
+          logging.warning('Could not write progress note: %s', e)
       acc = None
       chrono.resume()
 

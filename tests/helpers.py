@@ -72,9 +72,11 @@ def tiny_dataset_config(**overrides) -> config_dict.ConfigDict:
   return cfg
 
 
-def tiny_dataset(batch_size: int = 2, **overrides) -> data_loader.Dataset:
+def tiny_dataset(batch_size: int = 2, mesh=None,
+                 **overrides) -> data_loader.Dataset:
   return data_loader.get_dataset(
       batch_size=batch_size,
       eval_batch_size=batch_size,
       dataset_configs=tiny_dataset_config(**overrides),
+      mesh=mesh,
   )

@@ -155,3 +155,36 @@ def test_pair_scenes_independent_rigs_and_overlap():
   # The retry loop targets the PairingConfig window for most pairs.
   in_window = [0.3 <= o <= 0.7 for o in overlaps]
   assert sum(in_window) >= len(overlaps) // 2, overlaps
+
+
+def test_eval_on_dataset_sharded_matches_single_device():
+  """Data-axis-sharded eval produces the same per-example metrics."""
+  import jax
+  import helpers
+  from snap_tpu.data import loader as data_loader
+  from snap_tpu.models import bev_localizer
+  from snap_tpu.parallel import mesh as mesh_lib
+  from snap_tpu.train_lib import trainer as trainer_lib
+
+  batch = 8
+  dataset = helpers.tiny_dataset(batch_size=batch, evaluation_size=11)
+  model = bev_localizer.BEVLocalizerModel(
+      helpers.tiny_localizer(), dataset.meta_data, jnp.float32)
+  params, model_state, _ = trainer_lib.initialize_model(
+      model_def=model.flax_model,
+      dummy_input=dataset.meta_data['get_dummy_batch_fn'](),
+      rng=jax.random.PRNGKey(0))
+
+  results = {}
+  for mesh in (None, mesh_lib.make_mesh({'data': -1, 'model': 1})):
+    dataset = helpers.tiny_dataset(
+        batch_size=batch, mesh=mesh, evaluation_size=11)
+    results[mesh is None] = evaluator.eval_on_dataset(
+        model, params, model_state, dataset, jax.random.PRNGKey(1), batch,
+        mesh=mesh)
+  single, sharded = results[True], results[False]
+  assert set(single) == set(sharded)
+  assert len(single['error_max_meter']) == 11
+  np.testing.assert_allclose(
+      single['error_max_meter'], sharded['error_max_meter'],
+      rtol=1e-4, atol=1e-4)
