@@ -129,9 +129,11 @@ def test_eval_iterator_masks_padding():
   np.testing.assert_array_equal(np.asarray(b1['batch_mask']), [1.0, 0.0])
 
 
-def test_single_scene_mode_schema():
+def test_single_scene_mode_schema_with_lidar():
   config = _small_data_config()
   config.mode = 'single_scene'
+  config.add_lidar_rays = True
+  config.num_rays = 64
   batches = {}
   for on_device in (True, False):
     config.on_device_generation = on_device
@@ -140,3 +142,11 @@ def test_single_scene_mode_schema():
         mesh=None, shuffle_seed=3, start_step=0)
     batches[on_device] = next(ds.train_iter)
   assert _tree_signature(batches[True]) == _tree_signature(batches[False])
+  rays = batches[True]['lidar_rays']
+  points = np.asarray(rays['points'])
+  origins = np.asarray(rays['origins'])
+  mask = np.asarray(rays['mask'])
+  assert mask.any()
+  # Hit points lie on the ground plane or on a box (z in [0, max height]).
+  assert points[mask][..., 2].min() > -1e-3
+  assert (np.linalg.norm((points - origins)[mask], axis=-1) < 40.0).all()
