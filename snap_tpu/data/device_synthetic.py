@@ -423,6 +423,93 @@ def make_query_scene(
   return scene, t_query2map
 
 
+def _rig_coverage(
+    spec: Spec,
+    positions: Array,
+    yaws: Array,
+    scene2common: Optional[Tuple[Array, Array]] = None,
+    cell: float = 1.0,
+) -> Array:
+  """Boolean grid of common-frame cells inside the rig's view frusta.
+
+  Matches synthetic.SyntheticSceneGenerator._rig_coverage (used for the
+  PAIR_SCENES ``overlap`` field, reference contract snap/data/types.py:71-81).
+  """
+  gx, gy, _ = spec.grid_size
+  ii, jj = jnp.meshgrid(
+      jnp.arange(int(gx / cell)), jnp.arange(int(gy / cell)), indexing='ij')
+  centers = (jnp.stack([ii, jj], -1) + 0.5) * cell
+  fwd = jnp.stack([-jnp.sin(yaws), jnp.cos(yaws)], -1)
+  cam_xy = positions[:, :2]
+  in_cells = True
+  if scene2common is not None:
+    r_s2c, t_s2c = scene2common
+    cam_xy = cam_xy @ r_s2c[:2, :2].T + t_s2c[:2]
+    fwd = fwd @ r_s2c[:2, :2].T
+    cells_scene = (centers - t_s2c[:2]) @ r_s2c[:2, :2]
+    in_cells = (
+        (cells_scene >= 0) & (cells_scene < jnp.asarray([gx, gy]))).all(-1)
+  rel = centers[..., None, :] - cam_xy  # [X, Y, V, 2]
+  dist = jnp.linalg.norm(rel, axis=-1)
+  cos_angle = (rel * fwd).sum(-1) / jnp.maximum(dist, 1e-6)
+  half_fov = np.deg2rad(spec.hfov_deg) / 2
+  seen = (dist <= spec.frustum_depth) & (cos_angle >= np.cos(half_fov))
+  return seen.any(-1) & in_cells
+
+
+def _make_pair_scenes(spec: Spec, scene_key, num_candidates: int = 8,
+                      min_overlap: float = 0.3, max_overlap: float = 0.7
+                      ) -> DataDict:
+  """Two independent rigs over one world, paired by frustum overlap.
+
+  The host generator rejection-samples the second rig until the coverage
+  overlap lands in the pairing window; on device all candidates are scored
+  vectorized and the first in-window one wins (else the closest to the
+  window center) — same distribution family, fixed shapes.
+  """
+  scene_i, world = make_map_scene(spec, scene_key(1))
+  pos_i = scene_i['T_view2scene'].t.astype(jnp.float32)
+  r_i = scene_i['T_view2scene'].R.astype(jnp.float32)
+  yaw_mats = r_i @ jnp.asarray(CAM_TO_WORLD, jnp.float32).T
+  yaws_i = jnp.arctan2(yaw_mats[:, 1, 0], yaw_mats[:, 0, 0])
+  cov_i = _rig_coverage(spec, pos_i, yaws_i)
+
+  def candidate(c):
+    key = jax.random.fold_in(scene_key(100), c)
+    k_shift, k_yaw, k_rig = jax.random.split(key, 3)
+    shift = jax.random.uniform(k_shift, (2,), minval=-8.0, maxval=8.0)
+    yaw = jax.random.uniform(
+        k_yaw, (), minval=-jnp.pi / 4, maxval=jnp.pi / 4)
+    positions, yaws = sample_rig(k_rig, spec)
+    r_j2i = yaw_matrix(yaw)
+    t_j2i = jnp.concatenate([shift, jnp.zeros(1)])
+    cov_j = _rig_coverage(spec, positions, yaws, (r_j2i, t_j2i))
+    union = (cov_i | cov_j).sum()
+    overlap = (cov_i & cov_j).sum() / jnp.maximum(union, 1)
+    return overlap, positions, yaws, r_j2i, t_j2i
+
+  overlaps, cand_pos, cand_yaws, cand_r, cand_t = jax.vmap(candidate)(
+      jnp.arange(num_candidates))
+  in_window = (overlaps >= min_overlap) & (overlaps <= max_overlap)
+  mid = (min_overlap + max_overlap) / 2
+  fallback = jnp.argmin(jnp.abs(overlaps - mid))
+  best = jnp.where(in_window.any(), jnp.argmax(in_window), fallback)
+
+  rig_j = (cand_pos[best], cand_yaws[best])
+  scene2world = (cand_r[best], cand_t[best])
+  scene_j, _ = make_map_scene(
+      spec, scene_key(4), world=world, rig=rig_j, scene2world=scene2world)
+  return {
+      'scene_i': scene_i,
+      'scene_j': scene_j,
+      'T_j2i': geometry.Transform3D(
+          R=scene2world[0].astype(jnp.float32),
+          t=scene2world[1].astype(jnp.float32)),
+      'overlap': overlaps[best].astype(jnp.float32),
+      'time_delta_days': jnp.float32(0.0),
+  }
+
+
 def make_example(spec: Spec, mode: data_types.DataMode, seed: Array,
                  index: Array) -> DataDict:
   """One example (no strings — those live in the host side-channel)."""
@@ -444,9 +531,9 @@ def make_example(spec: Spec, mode: data_types.DataMode, seed: Array,
         'overlap': jnp.float32(0.5),
         'time_delta_days': jnp.float32(0.0),
     }
-  raise NotImplementedError(
-      f'{mode} has no on-device path (PAIR_SCENES pairs are rejection-'
-      'sampled; use the host generator).')
+  if mode == data_types.DataMode.PAIR_SCENES:
+    return _make_pair_scenes(spec, scene_key)
+  raise NotImplementedError(mode)
 
 
 class DeviceBatcher:

@@ -221,6 +221,14 @@ def _host_strings(mode: types.DataMode, seed: int,
         'pair_id': np.asarray(
             [f'{m}|{q}' for m, q in zip(scene_ids, query_ids)]),
     }
+  if mode == types.DataMode.PAIR_SCENES:
+    cars = np.asarray(['CAR'] * len(indices))
+    return {
+        'scene_i/scene_id': scene_ids,
+        'scene_i/vehicle_type': cars,
+        'scene_j/scene_id': np.asarray([f'{s}/j' for s in scene_ids]),
+        'scene_j/vehicle_type': cars,
+    }
   raise NotImplementedError(mode)
 
 
@@ -326,16 +334,12 @@ def get_dataset(
   # On-device generation: the procedural world is evaluated as one jitted
   # XLA program per batch on the accelerator (the host can be a single
   # core — it only dispatches and formats the string side-channel). Host
-  # (numpy) generation remains the path for PAIR_SCENES (rejection-sampled
-  # pairing), multi-process runs, and the CPU test mesh.
+  # (numpy) generation remains the path for multi-process runs and the
+  # CPU test mesh.
   on_device = dataset_configs.get('on_device_generation')
   if on_device is None:
     on_device = jax.default_backend() != 'cpu'
-  use_device_gen = (
-      bool(on_device)
-      and mode != types.DataMode.PAIR_SCENES
-      and jax.process_count() == 1
-  )
+  use_device_gen = bool(on_device) and jax.process_count() == 1
 
   if use_device_gen:
     spec = device_synthetic.Spec.from_configs(

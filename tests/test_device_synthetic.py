@@ -150,3 +150,23 @@ def test_single_scene_mode_schema_with_lidar():
   # Hit points lie on the ground plane or on a box (z in [0, max height]).
   assert points[mask][..., 2].min() > -1e-3
   assert (np.linalg.norm((points - origins)[mask], axis=-1) < 40.0).all()
+
+
+def test_pair_scenes_mode_on_device():
+  config = _small_data_config()
+  config.mode = 'pair_scenes'
+  batches = {}
+  for on_device in (True, False):
+    config.on_device_generation = on_device
+    ds = data_loader.get_dataset(
+        batch_size=2, eval_batch_size=2, dataset_configs=config,
+        mesh=None, shuffle_seed=3, start_step=0)
+    batches[on_device] = next(ds.train_iter)
+  assert _tree_signature(batches[True]) == _tree_signature(batches[False])
+  b = batches[True]
+  overlap = np.asarray(b['overlap'])
+  assert (overlap > 0.0).all() and (overlap <= 1.0).all()
+  # The two rigs are genuinely different.
+  ti = np.asarray(b['scene_i']['T_view2scene'].t)
+  tj = np.asarray(b['scene_j']['T_view2scene'].t)
+  assert np.abs(ti - tj).max() > 0.5
