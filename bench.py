@@ -38,7 +38,8 @@ import jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-EVAL_BATCH = 4  # Reference eval protocol batch (snap/configs/eval_*.py).
+EVAL_BATCH = 2  # Largest eval-scale batch that fits one chip's HBM (batch 4
+# fails to compile: 15.79G of 15.75G hbm; measured 2026-08-16).
 TRAIN_BATCH = 4  # Per-chip shard of the reference's global batch 32 over 8.
 NUM_ITERS = 10
 NUM_ROTATIONS = 64
@@ -189,16 +190,24 @@ def bench_train_step():
     float(metrics['loss/total'][0])
     times.append(time.perf_counter() - t0)
   times.sort()
-  return times[len(times) // 2]
+  hbm_gb = None
+  try:
+    mem = step.lower(state, dict(batch)).compile().memory_analysis()
+    hbm_gb = round(
+        (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+         + mem.output_size_in_bytes) / 2**30, 2)
+  except Exception:  # pylint: disable=broad-except
+    pass
+  return times[len(times) // 2], hbm_gb
 
 
 def main():
   queries_per_sec, maps_per_sec = bench_eval()
   try:
-    train_step_sec = bench_train_step()
+    train_step_sec, train_hbm_gb = bench_train_step()
   except Exception as e:  # pylint: disable=broad-except
     print(f'# train-step bench failed: {type(e).__name__}: {e}')
-    train_step_sec = None
+    train_step_sec, train_hbm_gb = None, None
 
   pose_hypotheses_per_sec = queries_per_sec * POSES_PER_QUERY
   out = {
@@ -223,6 +232,8 @@ def main():
     out['train_batch_per_chip'] = TRAIN_BATCH
     out['train_note'] = ('reference global batch 32 = 8 data-parallel chips'
                          ' x this per-chip shard')
+    if train_hbm_gb is not None:
+      out['train_step_hbm_gb'] = train_hbm_gb
   print(json.dumps(out))
 
 

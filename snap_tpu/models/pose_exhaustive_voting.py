@@ -78,6 +78,42 @@ def sample_query_templates(
   )
 
 
+@jax.custom_vjp
+def correlate_conv(x: Array, kernel: Array) -> Array:
+  """NHWC x HWIO VALID correlation with f32 MXU accumulation.
+
+  ``lax.conv_general_dilated(preferred_element_type=f32)`` on bf16 operands
+  has a broken transpose in jax 0.9 (the f32 cotangent is convolved against
+  the bf16 operands, a dtype mismatch). This wrapper keeps the f32-accumulated
+  forward and defines the backward as the VJP of the same-dtype conv with the
+  cotangent rounded to the operand dtype — standard mixed-precision practice
+  (gradients re-accumulate in f32 in the optimizer).
+  """
+  return jax.lax.conv_general_dilated(
+      x, kernel, window_strides=(1, 1), padding='VALID',
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+      preferred_element_type=jnp.float32)
+
+
+def _correlate_conv_fwd(x, kernel):
+  return correlate_conv(x, kernel), (x, kernel)
+
+
+def _correlate_conv_bwd(res, g):
+  x, kernel = res
+
+  def same_dtype_conv(x, kernel):
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+  _, vjp = jax.vjp(same_dtype_conv, x, kernel)
+  return vjp(g.astype(x.dtype))
+
+
+correlate_conv.defvjp(_correlate_conv_fwd, _correlate_conv_bwd)
+
+
 def template_matching(
     q: Array,
     q_valid: Array,
@@ -104,14 +140,7 @@ def template_matching(
   m_pad = jnp.pad(m, ((hq - 1,) * 2, (wq - 1,) * 2, (0, 0)), mode='edge')
   # Correlation: out[r, a, b] = sum_{u,v,d} q[r,u,v,d] * m_pad[a+u, b+v, d].
   kernel = jnp.moveaxis(q, 0, -1)  # [Hq, Wq, D, R]
-  scores = jax.lax.conv_general_dilated(
-      m_pad[None],
-      kernel,
-      window_strides=(1, 1),
-      padding='VALID',
-      dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-      preferred_element_type=jnp.float32,
-  )[0]  # [H + Hq - 1, W + Wq - 1, R]
+  scores = correlate_conv(m_pad[None], kernel)[0]  # [H+Hq-1, W+Wq-1, R]
   scores = jnp.moveaxis(scores, -1, 0)
 
   if min_overlap is not None:
@@ -335,11 +364,8 @@ def dense_refinement(
       m_pad, (start_a, start_b, 0), (*window, m_pad.shape[-1]))
 
   kernel = jnp.moveaxis(templates, 0, -1)  # [Hq, Wq, D, Rf]
-  scores = jax.lax.conv_general_dilated(
-      crop[None], kernel, (1, 1), 'VALID',
-      dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-      preferred_element_type=jnp.float32,
-  )[0]  # [2P+1, 2P+1, Rf]
+  scores = correlate_conv(
+      crop[None], kernel.astype(crop.dtype))[0]  # [2P+1, 2P+1, Rf]
   scores = jnp.moveaxis(scores, -1, 0)
   scores = scores / jnp.sum(
       t_valid, axis=(-1, -2))[:, None, None].clip(min=1)

@@ -165,7 +165,6 @@ class StreetViewEncoder(nn.Module):
       impl: str = 'scan',
   ) -> base.Predictions:
     """Fused streaming paths (ops/view_scan.py): O(N x D) working set."""
-    del train
     if self.config.do_weighted_fusion:
       f_maps, score_maps = jnp.split(
           f_images, [self.config.feature_dim], axis=-1)
@@ -178,6 +177,11 @@ class StreetViewEncoder(nn.Module):
         use_variance=self.config.fusion_use_variance,
     )
     if impl == 'stream':
+      # Training tiles the points so the backward's per-tile patch
+      # transients stay bounded (an untiled batch-4 backward materializes
+      # an 18.9 GB patch product); eval runs untiled for peak throughput.
+      if train:
+        kwargs['point_tile'] = self.config.get('point_tile') or 131072
       # Rematerialize the lifting: the gather/accumulate intermediates are
       # recomputed in the backward pass instead of persisting in HBM.
       lift = jax.checkpoint(

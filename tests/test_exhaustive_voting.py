@@ -242,3 +242,29 @@ def test_dense_volume_matches_sampled_scoring_at_grid_poses():
         grid_m, False)[0]
     np.testing.assert_allclose(
         float(volume[0, a, b]), float(score_sampled), rtol=2e-3)
+
+
+def test_refinement_gradients_with_bf16_features():
+  """Backprop through dense refinement on bf16 planes (jax 0.9 conv
+  transpose breaks on preferred_element_type + bf16; correlate_conv's
+  custom VJP is the workaround). Train-time refinement must not crash."""
+  rng = np.random.default_rng(7)
+  cell = 0.5
+  num_rot = 8
+  grid = grids.Grid2D((12, 12), cell)
+  map_feats = jnp.asarray(rng.normal(size=(12, 12, 4)), jnp.bfloat16)
+  valid = jnp.ones((12, 12), bool)
+
+  def loss(m_feats):
+    plane_q = types.FeaturePlane(features=m_feats, valid=valid)
+    plane_m = types.FeaturePlane(features=m_feats, valid=valid)
+    _, fine = pev.dense_refinement(
+        plane_q, plane_m, jnp.asarray([0, 11, 11]), grid, num_rot,
+        np.zeros(2), range_r_deg=4.0, delta_r_deg=1.0)
+    return jnp.max(fine.astype(jnp.float32))
+
+  val, grad = jax.value_and_grad(loss)(map_feats)
+  assert np.isfinite(float(val))
+  assert grad.dtype == jnp.bfloat16
+  assert np.isfinite(np.asarray(grad, np.float32)).all()
+  assert np.abs(np.asarray(grad, np.float32)).max() > 0

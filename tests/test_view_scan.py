@@ -209,3 +209,36 @@ def test_stream_partial_visibility_pooling():
   assert bool(out.valid[0, 0])
   mean = float(out.stats[0, 0, 0])
   assert 10.0 <= mean <= 20.0, mean
+
+
+def test_stream_tiled_matches_untiled_incl_grad():
+  """point_tile processing (lax.map + remat) is bit-identical to untiled,
+  and its backward runs with bounded transients (training-scale guard)."""
+  rng = np.random.default_rng(11)
+  batch, num_views, h, w, dim, bins = 2, 5, 12, 16, 8, 4
+  tfm, cams = random_rig(rng, batch, num_views)
+  f_maps = jnp.asarray(
+      rng.normal(size=(batch, num_views, h, w, dim)), jnp.float32)
+  score_maps = jnp.asarray(
+      rng.normal(size=(batch, num_views, h, w, bins)), jnp.float32)
+  points = jnp.asarray(
+      rng.uniform([0, 0, 0], [12, 16, 4], size=(batch, 53, 3)), jnp.float32)
+  kwargs = dict(top_k=3, depth_min_max=(1.0, 32.0), add_minmax=False,
+                use_variance=True)
+
+  def run(fm, sm, tile):
+    out = view_scan.pool_views_stream(
+        fm, sm, tfm, cams, points, point_tile=tile, **kwargs)
+    return out
+
+  out_full = run(f_maps, score_maps, 0)
+  out_tiled = run(f_maps, score_maps, 16)  # 53 -> 4 tiles with padding
+  np.testing.assert_array_equal(out_full.valid, out_tiled.valid)
+  np.testing.assert_allclose(out_full.stats, out_tiled.stats, atol=1e-6)
+
+  def loss(fm, sm, tile):
+    return (run(fm, sm, tile).stats ** 2).sum()
+
+  g_full = jax.grad(loss)(f_maps, score_maps, 0)
+  g_tiled = jax.grad(loss)(f_maps, score_maps, 16)
+  np.testing.assert_allclose(g_full, g_tiled, atol=1e-4)
