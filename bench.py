@@ -40,7 +40,9 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 EVAL_BATCH = 2  # Largest eval-scale batch that fits one chip's HBM (batch 4
 # fails to compile: 15.79G of 15.75G hbm; measured 2026-08-16).
-TRAIN_BATCH = 4  # Per-chip shard of the reference's global batch 32 over 8.
+TRAIN_BATCH = 2  # Per-chip shard: reference global batch 32 = 16 v5e chips
+# x 2 (batch 4/chip needs 19.3G > 15.75G HBM; the reference trained on
+# larger-HBM chips).
 NUM_ITERS = 10
 NUM_ROTATIONS = 64
 # Reference sampled-path eval budget per localization query.
@@ -230,8 +232,8 @@ def main():
     out['train_step_sec_full_scale'] = round(train_step_sec, 3)
     out['train_examples_per_sec'] = round(TRAIN_BATCH / train_step_sec, 3)
     out['train_batch_per_chip'] = TRAIN_BATCH
-    out['train_note'] = ('reference global batch 32 = 8 data-parallel chips'
-                         ' x this per-chip shard')
+    out['train_note'] = ('reference global batch 32 = 16 data-parallel v5e '
+                         'chips x this per-chip shard')
     if train_hbm_gb is not None:
       out['train_step_hbm_gb'] = train_hbm_gb
   print(json.dumps(out))

@@ -448,12 +448,16 @@ def pool_views_stream(
 
   sel = (p2d_sel, vis_sel, depth_sel, idx_sel)
   if point_tile and n > point_tile:
-    pad = (-n) % point_tile
-    num_tiles = (n + pad) // point_tile
+    # Balance the tiles: ceil(n / ceil(n/tile)) wastes at most one tile's
+    # worth of padding in total (padding up to a multiple of point_tile can
+    # nearly double the work, e.g. 144k points -> 2 x 131072).
+    num_tiles = -(-n // point_tile)
+    tile = -(-n // num_tiles)
+    pad = num_tiles * tile - n
 
     def to_tiles(x):  # [B, N, ...] -> [T, B, tile, ...]
       x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
-      x = x.reshape(b, num_tiles, point_tile, *x.shape[2:])
+      x = x.reshape(b, num_tiles, tile, *x.shape[2:])
       return jnp.moveaxis(x, 1, 0)
 
     # Rematerialize each tile body: its patch transients are recomputed in
