@@ -36,10 +36,16 @@ class MapModalities(str, enum.Enum):
   SEMANTIC = 'semantic'
 
 
-def parse_argument_string(args_str: None | str) -> dict[str, Any]:
-  """Parse 'image_encoder=R50,modalities=streetview+aerial' argument DSL."""
+def parse_argument_string(
+    args_str: None | str, **default_args: Any
+) -> dict[str, Any]:
+  """Parse 'image_encoder=R50,modalities=streetview+aerial' argument DSL.
+
+  The accepted keys are the training defaults unless the caller supplies
+  its own ``default_args`` (e.g. eval configs accept eval-shaped args).
+  """
   args = dict(kv.split('=') for kv in (args_str or '').split(',') if kv)
-  default_args = dict(
+  default_args = default_args or dict(
       image_encoder='R50',
       modalities='streetview+aerial',
       pose_backend='ransac',

@@ -9,8 +9,9 @@ from snap_tpu.configs import defaults
 
 
 def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
-  """Return the config."""
-  del args_str
+  """Return the config. Args DSL: ``evaluation_size=256,batch_size=8``."""
+  args = defaults.parse_argument_string(
+      args_str, evaluation_size=4096, batch_size=4)
   config = config_dict.create(
       workdir=config_dict.placeholder(str),
       checkpoint_step=config_dict.placeholder(int),
@@ -31,5 +32,6 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
           do_grid_refinement=True,
       ),
   )
-  config.data.loader.evaluation_size = 4096
+  config.batch_size = int(args['batch_size'])
+  config.data.loader.evaluation_size = int(args['evaluation_size'])
   return config.lock()
