@@ -17,8 +17,9 @@ extras (a skeptic can recompute the headline from them):
   lift + fusion + matching head) at the reference scene scale.
 - ``train_step_sec``/``train_examples_per_sec``: full-scale training step
   (forward+backward+adam, dense backend) at the per-chip batch; the
-  reference's global batch 32 (README.md:41-43) maps to 8 data-parallel
-  chips x this per-chip shard.
+  reference's global batch 32 (README.md:41-43) maps to 16 data-parallel
+  v5e chips x this per-chip shard of 2 (batch 4/chip exceeds v5e HBM,
+  see TRAIN_BATCH below).
 
 Scales follow the reference eval protocol (SURVEY.md §6): 120x160x60 voxel
 grid at 0.2 m, 20 views/scene, query frustum depth 16 m.

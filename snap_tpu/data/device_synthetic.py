@@ -76,6 +76,9 @@ class Spec:
   add_rasters: bool = False
   add_lidar_rays: bool = False
   num_rays: int = 10_000
+  # PAIR_SCENES pairing window (types.PairingConfig.{min,max}_overlap) —
+  # plumbed from the same ProcessingConfig as the host generator's.
+  pair_overlap: Tuple[float, float] = (0.3, 0.7)
 
   @classmethod
   def from_configs(cls, scene_config, rasters_config, image_hw, voxel_size,
@@ -532,7 +535,9 @@ def make_example(spec: Spec, mode: data_types.DataMode, seed: Array,
         'time_delta_days': jnp.float32(0.0),
     }
   if mode == data_types.DataMode.PAIR_SCENES:
-    return _make_pair_scenes(spec, scene_key)
+    return _make_pair_scenes(
+        spec, scene_key, min_overlap=spec.pair_overlap[0],
+        max_overlap=spec.pair_overlap[1])
   raise NotImplementedError(mode)
 
 

@@ -269,11 +269,13 @@ def get_dataset(
   rasters_config = types.RastersConfig(resolution=voxel_size)
   lidar_config = types.LidarConfig(
       num_rays=dataset_configs.get('num_rays') or 10_000)
+  pairing_config = types.PairingConfig()
   build_config = types.ProcessingConfig(
       mode=mode,
       scene_config=scene_config,
       rasters_config=rasters_config,
       lidar_config=lidar_config,
+      pairing_config=pairing_config,
   )
 
   image_hw = tuple(dataset_configs.get('image_size') or (90, 120))
@@ -290,6 +292,7 @@ def get_dataset(
         scene_config=scene_config,
         rasters_config=rasters_config,
         lidar_config=lidar_config,
+        pairing_config=pairing_config,
         image_hw=image_hw,
         voxel_size=voxel_size,
         seed=location_seed(location, shuffle_seed + seed_salt),
@@ -349,6 +352,7 @@ def get_dataset(
         add_lidar_rays=bool(dataset_configs.add_lidar_rays),
         num_rays=int(dataset_configs.get('num_rays')
                      or lidar_config.num_rays),
+        pair_overlap=(pairing_config.min_overlap, pairing_config.max_overlap),
     )
 
     def make_device_batch_fn(location, seed_salt):

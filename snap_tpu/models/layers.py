@@ -84,6 +84,7 @@ class MLP(nn.Module):
       x = dense_layer(d)(x)
       # TP: wide hidden activations live sharded over the 'model' axis next
       # to their column-sharded kernels (no-op off-mesh / under pure DP).
-      if d >= 256:
+      # Threshold matches the parameter-sharding rule (mesh_lib.TP_MIN_DIM).
+      if d >= mesh_lib.TP_MIN_DIM:
         x = mesh_lib.constrain(x, 'model')
     return x

@@ -102,8 +102,16 @@ def constrain(x: Any, *spec: Optional[str]) -> Any:
   return jax.lax.with_sharding_constraint(x, full)
 
 
+# Single source of truth for "wide enough to tensor-shard": parameter
+# sharding (infer_param_shardings) and the activation constraints in model
+# code (layers.MLP) must agree, or XLA inserts a reshard around every layer
+# on one side of the mismatch. config.tp_min_dim overrides the param side
+# only — keep it at this value unless the model constraints are updated too.
+TP_MIN_DIM = 256
+
+
 def infer_param_shardings(
-    params: Any, mesh: Mesh, min_dim: int = 256
+    params: Any, mesh: Mesh, min_dim: int = TP_MIN_DIM
 ) -> Any:
   """Tensor-parallel sharding rules for parameters.
 

@@ -300,6 +300,13 @@ class Chrono:
     self.steps = steps
     return (steps - self.first_step) / max(self.active_walltime(), 1e-9)
 
+  def exclude_elapsed(self, step: int):
+    """Drop all active time so far (e.g. the first-step XLA compile) and
+    re-anchor rates at ``step``, so steps/sec and ETA report steady-state
+    compute rate instead of amortizing a multi-minute compile."""
+    self._paused_total += self.active_walltime()
+    self.first_step = step
+
 
 def train(
     *,
@@ -479,6 +486,8 @@ def _train(
       jax.block_until_ready(logs)
       logging.info('First step done (compile included): %.1fs elapsed.',
                    chrono.active_walltime())
+      # Steady-state rates: don't amortize the compile into steps/sec/ETA.
+      chrono.exclude_elapsed(step)
     if lead_host and profile_start > 0 and step == (
         profile_start + num_profile_steps):
       jax.block_until_ready(train_state.params)
@@ -496,9 +505,11 @@ def _train(
           k: float(s) / max(float(c), 1.0)
           for k, (s, c) in acc_host['metrics'].items()
       }
-      n_finite = max(float(acc_host['n_finite']), 1.0)
+      # All-skipped window: report NaN (a visible gap in TB), not a fake 0
+      # learning rate / grad norm that reads as an optimizer bug.
+      n_finite = float(acc_host['n_finite'])
       for k, v in acc_host['logs'].items():
-        summary[k] = float(v) / n_finite
+        summary[k] = float(v) / n_finite if n_finite else float('nan')
       summary['steps_per_sec'] = steps_per_sec
       train_summary = summary
       if lead_host and writer is not None:
