@@ -105,19 +105,20 @@ def build(batch_size: int):
 
 
 def time_fn(fn, *args, iters: int = NUM_ITERS) -> float:
-  """Median-of-iters seconds; a scalar host readback is the sync fence.
+  """Pipelined per-call seconds: dispatch all iters, one sync at the end.
 
-  Through remote-execution tunnels block_until_ready does not reliably
-  synchronize, so outputs are reduced to scalars and fetched with float().
+  A production eval loop keeps the device queue full (async dispatch), so
+  per-call cost excludes the host/tunnel round-trip; outputs are reduced to
+  scalars and the final float() is the sync fence (block_until_ready does
+  not reliably synchronize through remote-execution tunnels).
   """
   float(fn(*args))  # warmup / compile
-  times = []
-  for _ in range(iters):
-    t0 = time.perf_counter()
-    float(fn(*args))
-    times.append(time.perf_counter() - t0)
-  times.sort()
-  return times[len(times) // 2]
+  t0 = time.perf_counter()
+  outs = [fn(*args) for _ in range(iters)]
+  float(outs[-1])
+  for o in outs[:-1]:
+    float(o)
+  return (time.perf_counter() - t0) / iters
 
 
 def bench_eval():
@@ -186,13 +187,11 @@ def bench_train_step():
 
   state, metrics, _ = step(state, dict(batch))  # warmup/compile
   float(metrics['loss/total'][0])
-  times = []
+  t0 = time.perf_counter()
   for _ in range(NUM_ITERS):
-    t0 = time.perf_counter()
     state, metrics, _ = step(state, dict(batch))
-    float(metrics['loss/total'][0])
-    times.append(time.perf_counter() - t0)
-  times.sort()
+  float(metrics['loss/total'][0])  # sync fence: in-order execution
+  times = [(time.perf_counter() - t0) / NUM_ITERS]
   hbm_gb = None
   try:
     mem = step.lower(state, dict(batch)).compile().memory_analysis()

@@ -122,22 +122,35 @@ def eval_on_dataset(
   results = []
   num_examples = dataset.meta_data['num_eval_examples']
   num_steps = int(np.ceil(num_examples / batch_size))
+
+  def drain(step, pending_metrics, pending_host, pending_mask):
+    metrics = jax.device_get(pending_metrics)
+    metrics['vehicle_map'] = pending_host.get(
+        'map/vehicle_type', pending_host.get('vehicle_type'))
+    if 'pair_id' in pending_host:
+      metrics['vehicle_query'] = pending_host['query/vehicle_type']
+      metrics['pair_id'] = pending_host['pair_id']
+    for i in range(len(pending_mask)):
+      if pending_mask[i]:
+        results.append(misc.tree_index(metrics, i))
+    logging.log_every_n(logging.INFO, 'Evaluated %d/%d examples.', 10,
+                        (step + 1) * batch_size, num_examples)
+
+  # One-batch-lag pipeline: dispatch step k+1 before fetching step k's
+  # metrics, so the host round-trip overlaps device compute (jax dispatch
+  # is async; the device_get of k blocks only until k finishes, while k+1
+  # is already queued).
+  pending = None
   for step in range(num_steps):
     batch = next(dataset.valid_iter)
     host = batch.pop('_host', {})
-    metrics = jax.device_get(eval_step_jit(params, model_state, batch))
+    metrics = eval_step_jit(params, model_state, batch)
     mask = np.asarray(batch['batch_mask']) > 0
-    metrics['vehicle_map'] = host.get(
-        'map/vehicle_type', host.get('vehicle_type'))
-    if 'pair_id' in host:
-      metrics['vehicle_query'] = host['query/vehicle_type']
-      metrics['pair_id'] = host['pair_id']
-    for i in range(len(mask)):
-      if not mask[i]:
-        continue
-      results.append(misc.tree_index(metrics, i))
-    logging.log_every_n(logging.INFO, 'Evaluated %d/%d examples.', 10,
-                        (step + 1) * batch_size, num_examples)
+    if pending is not None:
+      drain(step - 1, *pending)
+    pending = (metrics, host, mask)
+  if pending is not None:
+    drain(num_steps - 1, *pending)
   return jax.tree_util.tree_map(lambda *t: np.asarray(t), *results)
 
 
