@@ -8,6 +8,8 @@ from snap_tpu.configs import eval_localization
 from snap_tpu.configs import eval_semantics
 from snap_tpu.configs import smoke_eval_localization
 from snap_tpu.configs import smoke_localization
+from snap_tpu.configs import smoke_occupancy
+from snap_tpu.configs import smoke_semantics
 from snap_tpu.configs import train_localization
 from snap_tpu.configs import train_occupancy
 from snap_tpu.configs import train_semantics
@@ -15,7 +17,8 @@ from snap_tpu.utils import configs as config_utils
 
 
 @pytest.mark.parametrize('module', [
-    smoke_localization, train_localization, train_semantics, train_occupancy,
+    smoke_localization, smoke_semantics, smoke_occupancy,
+    train_localization, train_semantics, train_occupancy,
     eval_localization, eval_semantics, smoke_eval_localization,
 ])
 def test_config_builds(module):
