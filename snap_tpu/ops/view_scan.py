@@ -302,6 +302,69 @@ def gather_bilinear_patches(
       images, row0, col0)
 
 
+def interpolate_patch_2d(
+    array: Array,
+    valid: Optional[Array],
+    points: Array,
+) -> Tuple[Array, Array]:
+  """Bilinear 2-D interpolation via one 2x2-patch gather per point.
+
+  Exact drop-in for ``grids.interpolate_nd(array, points, valid, order=1)``
+  on 2-D grids, but one gather descriptor per point instead of four — the
+  TPU gather is descriptor-bound (docs/PERFORMANCE.md), so this is ~4x
+  faster, and the patch gather's custom VJP gives the flat-row-scatter
+  backward. Matches interpolate_nd's boundary semantics bit-for-bit up to
+  summation order:
+
+  - corner indices clamp to the grid ('nearest' boundary) while fractional
+    weights are kept → high-edge taps read an edge-replicated pad row;
+  - a low-edge point (coordinate in [0, 0.5)) collapses both taps onto
+    row/col 0, so the out-of-cell tap carries zero weight and its validity
+    is NOT consulted;
+  - a point is valid iff in bounds and every *consulted* corner is valid.
+
+  Args:
+    array: ``[H, W, D]``; valid: ``[H, W]`` bool or None; points: ``[N, 2]``
+      in the same corner-origin convention as interpolate_nd.
+
+  Returns:
+    ``(values [N, D], valid [N])``.
+  """
+  h, w, d = array.shape
+  size = jnp.asarray([h, w], points.dtype)
+  in_bounds = jnp.all((points >= 0) & (points < size), -1)
+
+  pts = points.astype(array.dtype) - 0.5
+  count_upper = pts >= 0  # [N, 2]: else both taps collapse onto index 0
+  pts_adj = jnp.clip(pts, 0, size.astype(array.dtype) - 1)
+  lower = jnp.floor(pts_adj).astype(jnp.int32)
+  lower = jnp.minimum(lower, jnp.asarray([h - 1, w - 1]))
+  frac = (pts_adj - lower).astype(array.dtype)
+
+  if valid is not None:
+    array = jnp.concatenate([array, valid[..., None].astype(array.dtype)], -1)
+  # Edge-pad one row/col: a clamped upper corner reads the replicated edge.
+  padded = jnp.pad(array, ((0, 1), (0, 1), (0, 0)), mode='edge')
+
+  patches = gather_bilinear_patches(
+      padded[None], lower[None, :, 0], lower[None, :, 1])[0]  # [N, 2, 2, C]
+  if valid is not None:
+    patches, tap_valid = patches[..., :d], patches[..., d] > 0.5
+
+  w_i = jnp.stack([1 - frac[:, 0], frac[:, 0]], -1)  # [N, 2]
+  w_j = jnp.stack([1 - frac[:, 1], frac[:, 1]], -1)
+  weights = w_i[:, :, None] * w_j[:, None, :]  # [N, 2, 2]
+  values = jnp.einsum('nij,nijd->nd', weights, patches)
+
+  ok = in_bounds
+  if valid is not None:
+    tap_counted = (
+        count_upper[:, 0, None, None] | (jnp.arange(2)[:, None] == 0)
+    ) & (count_upper[:, 1, None, None] | (jnp.arange(2)[None, :] == 0))
+    ok &= jnp.all(tap_valid | ~tap_counted, axis=(-1, -2))
+  return values, ok
+
+
 def pool_views_stream(
     f_images: Array,
     scores_images: Optional[Array],

@@ -242,3 +242,45 @@ def test_stream_tiled_matches_untiled_incl_grad():
   g_full = jax.grad(loss)(f_maps, score_maps, 0)
   g_tiled = jax.grad(loss)(f_maps, score_maps, 16)
   np.testing.assert_allclose(g_full, g_tiled, atol=1e-4)
+
+
+def test_interpolate_patch_2d_matches_interpolate_nd():
+  """One-descriptor patch interpolation == grids.interpolate_nd (order 1),
+  including the boundary bands (coords in [-1, size+1)) and validity
+  propagation with clamped corners."""
+  from snap_tpu.utils import grids as grids_lib
+
+  rng = np.random.default_rng(13)
+  h, w, d = 9, 7, 5
+  array = jnp.asarray(rng.normal(size=(h, w, d)), jnp.float32)
+  valid = jnp.asarray(rng.random((h, w)) > 0.3)
+  # Dense sweep incl. sub-cell offsets around every boundary.
+  points = jnp.asarray(
+      rng.uniform([-1, -1], [h + 1, w + 1], size=(4000, 2)), jnp.float32)
+  # Exact lattice points and the low-edge band, where tap collapsing occurs.
+  special = np.stack(np.meshgrid(
+      np.asarray([0.0, 0.25, 0.49, 0.5, 0.75, 1.0, h - 1.0, h - 0.51]),
+      np.asarray([0.0, 0.25, 0.49, 0.5, 0.75, 1.0, w - 1.0, w - 0.51]),
+      indexing='ij'), -1).reshape(-1, 2)
+  points = jnp.concatenate([points, jnp.asarray(special, jnp.float32)])
+
+  ref_vals, ref_valid = grids_lib.interpolate_nd(array, points, valid)
+  got_vals, got_valid = view_scan.interpolate_patch_2d(array, valid, points)
+  np.testing.assert_array_equal(got_valid, ref_valid)
+  mask = np.asarray(ref_valid)
+  np.testing.assert_allclose(
+      np.asarray(got_vals)[mask], np.asarray(ref_vals)[mask],
+      rtol=1e-6, atol=1e-6)
+
+  # No-validity variant.
+  ref_vals2, ref_in = grids_lib.interpolate_nd(array, points, None)
+  got_vals2, got_in = view_scan.interpolate_patch_2d(array, None, points)
+  np.testing.assert_array_equal(got_in, ref_in)
+  np.testing.assert_allclose(
+      np.asarray(got_vals2)[np.asarray(ref_in)],
+      np.asarray(ref_vals2)[np.asarray(ref_in)], rtol=1e-6, atol=1e-6)
+
+  # Gradients flow through the custom-VJP gather.
+  g = jax.grad(lambda a: view_scan.interpolate_patch_2d(
+      a, valid, points)[0].sum())(array)
+  assert np.isfinite(np.asarray(g)).all()
