@@ -26,7 +26,7 @@ def _run_module(module, config, workdir):
   return subprocess.run(
       [sys.executable, '-m', module, f'--config={config}',
        f'--workdir={workdir}'],
-      cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+      cwd=REPO, env=env, capture_output=True, text=True, timeout=2400)
 
 
 @pytest.mark.slow
