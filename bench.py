@@ -205,11 +205,23 @@ def bench_train_step():
 
 def main():
   queries_per_sec, maps_per_sec = bench_eval()
+  # Bound the train-step section: through the remote-compile tunnel a cold
+  # full-scale fwd+bwd compile can take tens of minutes (or die in the
+  # compiler); the eval headline must be emitted regardless.
+  import signal
+
+  def _alarm(signum, frame):
+    raise TimeoutError('train-step bench exceeded its time budget')
+
+  signal.signal(signal.SIGALRM, _alarm)
+  signal.alarm(900)
   try:
     train_step_sec, train_hbm_gb = bench_train_step()
   except Exception as e:  # pylint: disable=broad-except
     print(f'# train-step bench failed: {type(e).__name__}: {e}')
     train_step_sec, train_hbm_gb = None, None
+  finally:
+    signal.alarm(0)
 
   pose_hypotheses_per_sec = queries_per_sec * POSES_PER_QUERY
   out = {
