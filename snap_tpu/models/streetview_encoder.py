@@ -181,7 +181,10 @@ class StreetViewEncoder(nn.Module):
       # transients stay bounded (an untiled batch-4 backward materializes
       # an 18.9 GB patch product); eval runs untiled for peak throughput.
       if train:
-        kwargs['point_tile'] = self.config.get('point_tile') or 131072
+        tile = self.config.get('point_tile')
+        # 0 = untiled: with the fused bilinear_patch_combine VJP the
+        # backward transients are bounded without tiling (ops/view_scan.py).
+        kwargs['point_tile'] = 131072 if tile is None else tile
       # Rematerialize the lifting: the gather/accumulate intermediates are
       # recomputed in the backward pass instead of persisting in HBM.
       lift = jax.checkpoint(

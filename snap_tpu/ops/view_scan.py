@@ -72,6 +72,19 @@ def _bilinear_read(image: Array, pts_ij: Array) -> Array:
   return out
 
 
+def _depth_hat_weights(depth: Array, num_bins: int,
+                       depth_min_max: Tuple[float, float],
+                       dtype: jnp.dtype) -> Array:
+  """Hat-function interpolation weights over S log-depth bins: [..., S]."""
+  min_, max_ = depth_min_max
+  depth = jnp.clip(depth, min_, max_)
+  x = jnp.log(depth / min_) / jnp.log(max_ / min_) * (num_bins - 1)
+  x = jnp.clip(x, 0, num_bins - 1)
+  bins = jnp.arange(num_bins, dtype=dtype)
+  # Edge case x == num_bins - 1 exactly: weights sum to 1 by construction.
+  return jnp.maximum(0, 1 - jnp.abs(x[..., None].astype(dtype) - bins))
+
+
 def _interp_depth_score_1d(scores: Array, depth: Array,
                            depth_min_max: Tuple[float, float]) -> Array:
   """Linear interpolation of [..., S] log-depth-bin scores, gather-free.
@@ -79,14 +92,8 @@ def _interp_depth_score_1d(scores: Array, depth: Array,
   Uses a hat-function weight vector over the S bins and a dense dot — on TPU
   a [.., S] elementwise+reduce is ~100x faster than per-element gathers.
   """
-  num_bins = scores.shape[-1]
-  min_, max_ = depth_min_max
-  depth = jnp.clip(depth, min_, max_)
-  x = jnp.log(depth / min_) / jnp.log(max_ / min_) * (num_bins - 1)
-  x = jnp.clip(x, 0, num_bins - 1)
-  bins = jnp.arange(num_bins, dtype=scores.dtype)
-  w = jnp.maximum(0, 1 - jnp.abs(x[..., None].astype(scores.dtype) - bins))
-  # Edge case x == num_bins - 1 exactly: weights sum to 1 by construction.
+  w = _depth_hat_weights(
+      depth, scores.shape[-1], depth_min_max, scores.dtype)
   return jnp.sum(scores * w, axis=-1)
 
 
@@ -280,6 +287,85 @@ def _make_patch_gather(shape: Tuple[int, ...], dtype_name: str):
   return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _make_patch_combine(shape: Tuple[int, ...], dtype_name: str):
+  """custom_vjp fused patch-gather + bilinear combine for one stack shape."""
+  b, r, w, d = shape
+  dtype = jnp.dtype(dtype_name)
+
+  def impl(stack, row0, col0, weights):
+    starts = jnp.stack([row0, col0], axis=-1)  # [B, N, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patches = jax.lax.gather(
+        stack, starts, dnums, slice_sizes=(1, 2, 2, d),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # [B, N, 2, 2, D]
+    return jnp.einsum('bnij,bnijd->bnd', weights, patches)
+
+  @jax.custom_vjp
+  def fn(stack, row0, col0, weights):
+    return impl(stack, row0, col0, weights)
+
+  def fwd(stack, row0, col0, weights):
+    return impl(stack, row0, col0, weights), (row0, col0, weights)
+
+  def bwd(res, g):
+    row0, col0, weights = res
+    # d stack = sum over taps of scatter_add(w_tap * g) at the tap's flat
+    # pixel row. Never materializes the [B, N, 2, 2, D] patch cotangent the
+    # naive einsum transpose would build (5.9 GB f32 at training scale) —
+    # each tap's [B, N, D] value fuses into its scatter.
+    g32 = g.astype(jnp.float32)
+    grad = jnp.zeros((b, r * w, d), jnp.float32)
+    for a in (0, 1):
+      for c in (0, 1):
+        ids = (row0 + a) * w + (col0 + c)  # [B, N]
+        vals = weights[..., a, c, None].astype(jnp.float32) * g32
+        grad = jax.vmap(lambda acc, i, v: acc.at[i].add(v))(grad, ids, vals)
+    # No cotangent for weights: sample coordinates derive from cameras /
+    # poses / query points (data, not trainable parameters), matching the
+    # gather reference path where those branches are pruned.
+    return grad.reshape(b, r, w, d).astype(dtype), None, None, None
+
+  fn.defvjp(fwd, bwd)
+  return fn
+
+
+def bilinear_patch_combine(
+    stack: Array, row0: Array, col0: Array, weights: Array
+) -> Array:
+  """Fused ``einsum('bnij,bnijd->bnd', weights, gather_patches(...))``.
+
+  Args:
+    stack: ``[B, R, W, D]`` row-padded image stack (``row0 <= R - 2``,
+      ``col0 <= W - 2`` guaranteed by the caller).
+    row0, col0: ``[B, N]`` int32 patch origins.
+    weights: ``[B, N, 2, 2]`` bilinear tap weights (stack dtype).
+
+  Returns:
+    ``[B, N, D]`` combined features; forward is bit-identical to the
+    unfused gather + einsum.
+
+  Custom VJP: the einsum transpose w.r.t. the gathered patches would
+  materialize a ``[B, N, 2, 2, D]`` cotangent to feed the gather's scatter
+  backward; at training scale (1.15M points x 160 ch) that is the model's
+  largest tensor and forced point tiling (lax.map x remat x grad), which
+  the XLA TPU compiler cannot handle at full scale (STATUS.md round-2 gap
+  #3). The fused backward scatter-adds the four weighted taps directly,
+  bounding the transient to one ``[B, N, D]`` per tap and letting the
+  full-scale step compile untiled. Weights receive no cotangent (they
+  derive from non-trainable geometry).
+  """
+  return _make_patch_combine(tuple(stack.shape), stack.dtype.name)(
+      stack, row0, col0, weights)
+
+
 def gather_bilinear_patches(
     images: Array, row0: Array, col0: Array
 ) -> Array:
@@ -464,12 +550,12 @@ def pool_views_stream(
       lower = jnp.floor(pts).astype(jnp.int32)
       frac = (pts - lower).astype(stack.dtype)
 
-      patches = gather_bilinear_patches(
-          stack, idx_k * (h + 1) + lower[..., 0], lower[..., 1])
       w_i = jnp.stack([1 - frac[..., 0], frac[..., 0]], -1)  # [B, T, 2]
       w_j = jnp.stack([1 - frac[..., 1], frac[..., 1]], -1)
       weights = w_i[..., :, None] * w_j[..., None, :]  # [B, T, 2, 2]
-      f_k = jnp.einsum('bnij,bnijd->bnd', weights, patches).astype(acc)
+      f_k = bilinear_patch_combine(
+          stack, idx_k * (h + 1) + lower[..., 0], lower[..., 1], weights
+      ).astype(acc)
       if weighted:
         f_k, score_scales = f_k[..., :dim], f_k[..., dim:]
         score = _interp_depth_score_1d(

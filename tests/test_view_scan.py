@@ -167,6 +167,29 @@ def test_patch_gather_custom_vjp():
   np.testing.assert_allclose(grad_custom, grad_ref, atol=1e-5)
 
 
+def test_bilinear_patch_combine_fused_vjp():
+  """Fused gather+combine matches the unfused einsum fwd and bwd."""
+  rng = np.random.default_rng(17)
+  b, r, w, d, n = 2, 10, 7, 5, 13
+  stack = jnp.asarray(rng.normal(size=(b, r, w, d)), jnp.float32)
+  row0 = jnp.asarray(rng.integers(0, r - 1, size=(b, n)), jnp.int32)
+  col0 = jnp.asarray(rng.integers(0, w - 1, size=(b, n)), jnp.int32)
+  weights = jnp.asarray(rng.uniform(size=(b, n, 2, 2)), jnp.float32)
+
+  def unfused(stack):
+    patches = view_scan.gather_bilinear_patches(stack, row0, col0)
+    return jnp.einsum('bnij,bnijd->bnd', weights, patches)
+
+  fused = view_scan.bilinear_patch_combine(stack, row0, col0, weights)
+  np.testing.assert_array_equal(fused, unfused(stack))
+
+  cot = jnp.asarray(rng.normal(size=fused.shape), jnp.float32)
+  g_fused = jax.grad(lambda s: (view_scan.bilinear_patch_combine(
+      s, row0, col0, weights) * cot).sum())(stack)
+  g_ref = jax.grad(lambda s: (unfused(s) * cot).sum())(stack)
+  np.testing.assert_allclose(g_fused, g_ref, atol=1e-5)
+
+
 def test_view_selection_no_duplicate_visible_views():
   """Points with fewer than k visible views must not double-count view 0."""
   tfm = geometry.Transform3D(
