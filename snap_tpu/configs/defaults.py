@@ -89,6 +89,10 @@ def base() -> config_dict.ConfigDict:
           checkpoint=True,
           checkpoint_steps=config_dict.placeholder(int),
           max_checkpoints_to_keep=10,
+          # 'cpu' (reference behavior: host-side init, no double device
+          # alloc) or None for the default accelerator backend — on 1-core
+          # hosts a full-scale CPU init takes tens of minutes.
+          init_backend='cpu',
           # device mesh: axis sizes; -1 means "all remaining devices".
           mesh=dict(data=-1, model=1),
           # smallest last-dim size eligible for tensor-parallel sharding
@@ -360,6 +364,10 @@ def bev_localizer() -> config_dict.ConfigDict:
           # correlation; the dense-MXU-friendly backend).
           pose_backend='ransac',
           num_rotations=64,  # exhaustive backend only
+          # Dense-refinement (range_deg, delta_deg) fans, each re-centered
+          # on the previous best. The wide stage reaches ±2 coarse bins
+          # (64 rotations = 5.625° bins), the narrow one resolves 1/8°.
+          dense_refinement_stages=((11.0, 1.0), (1.25, 0.125)),
       )
   ).lock()
 

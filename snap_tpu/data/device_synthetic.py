@@ -527,11 +527,22 @@ def make_example(spec: Spec, mode: data_types.DataMode, seed: Array,
   if mode == data_types.DataMode.PAIR_SCENE_VIEW:
     map_scene, world = make_map_scene(spec, scene_key(1))
     query_scene, t_query2map = make_query_scene(spec, scene_key(2), world)
+    # Real frustum-coverage overlap (reference contract,
+    # snap/data/types.py:71-81): the fraction of query-frustum cells the map
+    # rig also covers. Mirrors the host generator.
+    pos_map = map_scene['T_view2scene'].t
+    yaw_mats = (map_scene['T_view2scene'].R
+                @ jnp.asarray(CAM_TO_WORLD, jnp.float32).T)
+    yaws_map = jnp.arctan2(yaw_mats[:, 1, 0], yaw_mats[:, 0, 0])
+    cov_map = _rig_coverage(spec, pos_map, yaws_map)
+    yaw_q = jnp.arctan2(t_query2map.R[1, 0], t_query2map.R[0, 0])
+    cov_q = _rig_coverage(spec, t_query2map.t[None], yaw_q[None])
+    overlap = (cov_q & cov_map).sum() / jnp.maximum(cov_q.sum(), 1)
     return {
         'map': map_scene,
         'query': query_scene,
         'T_query2map': t_query2map,
-        'overlap': jnp.float32(0.5),
+        'overlap': overlap.astype(jnp.float32),
         'time_delta_days': jnp.float32(0.0),
     }
   if mode == data_types.DataMode.PAIR_SCENES:
@@ -547,11 +558,18 @@ class DeviceBatcher:
   def __init__(self, spec: Spec, mode: data_types.DataMode, seed: int,
                sharding: Optional[jax.sharding.Sharding] = None):
     self._seed = seed
+    self._sharding = sharding
     fn = functools.partial(make_example, spec, mode)
     batched = jax.vmap(fn, in_axes=(None, 0))
     self._generate = jax.jit(batched, out_shardings=sharding)
 
   def __call__(self, indices: np.ndarray, mask: np.ndarray) -> DataDict:
     batch = dict(self._generate(self._seed, jnp.asarray(indices)))
-    batch['batch_mask'] = jnp.asarray(mask, jnp.float32)
+    # batch_mask must carry the same data sharding as the generated arrays:
+    # an unsharded mask next to sharded outputs would rely on silent jit
+    # auto-resharding inside the consumer step (ADVICE r2).
+    mask = jnp.asarray(mask, jnp.float32)
+    if self._sharding is not None:
+      mask = jax.device_put(mask, self._sharding)
+    batch['batch_mask'] = mask
     return batch

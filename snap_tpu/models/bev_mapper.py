@@ -8,6 +8,7 @@ matching head.
 
 from __future__ import annotations
 
+import math
 import pprint
 from typing import Any, Dict, List, Optional
 
@@ -20,6 +21,7 @@ import ml_collections
 from snap_tpu.models import base
 from snap_tpu.models import image_encoder
 from snap_tpu.models import layers
+from snap_tpu.models import resnet
 from snap_tpu.models import semantic_raster_encoder
 from snap_tpu.models import streetview_encoder
 from snap_tpu.models import types
@@ -149,8 +151,19 @@ class BEVMapper(nn.Module):
           self.config.modality_fusion, self.dtype
       )
 
+    self.bev_net = None
     if self.config.bev_net is not None:
-      raise NotImplementedError('BEV network not yet implemented')
+      # Small same-resolution residual conv stack over the fused plane —
+      # spatial context before the matching head. The reference declared
+      # this slot but never implemented it
+      # (snap/models/bev_mapper.py:141-142 raises NotImplementedError).
+      self.bev_net = resnet.ResNetStage(
+          block_size=int(self.config.bev_net.get('num_units', 2)),
+          nmid=self.config.bev_net.get('nmid'),
+          checkpoint_units=bool(
+              self.config.bev_net.get('checkpoint_units', False)),
+          dtype=self.dtype,
+      )
     if self.config.matching_dim is not None:
       # Initialize so matched dot products have unit variance.
       self.matching_proj = nn.Dense(
@@ -196,7 +209,10 @@ class BEVMapper(nn.Module):
             self.make_rng('sampling'), z_floor.shape,
             minval=jitter[0], maxval=jitter[1])
 
-    num_z = round(self.config.get('scene_z_height', 12.0) / cell)
+    # ceil preserves the reference's arange(0, h, cell) level count for
+    # heights that do not divide the cell size (e.g. 12.0 / 0.35 -> 35
+    # levels, where round() would silently drop one; ADVICE r2).
+    num_z = math.ceil(self.config.get('scene_z_height', 12.0) / cell - 1e-9)
     z_levels = (jnp.arange(num_z) + 0.5) * cell  # Voxel centers, floor-based.
     z = z_floor[:, None] + z_levels[None]  # [B, Z]
 
@@ -293,6 +309,12 @@ class BEVMapper(nn.Module):
     if not feature_planes:
       raise ValueError('No map encoder given.')
     pred['bev_features'] = plane = self.fuse_neural_maps(feature_planes, train)
+    if self.bev_net is not None:
+      f_net, _ = self.bev_net(plane.features)
+      # Convs smear into the invalid band; re-mask so downstream consumers
+      # (matching, confidence) keep the validity contract.
+      f_net = jnp.where(plane.valid[..., None], f_net, 0)
+      pred['bev_features'] = plane = plane.replace(features=f_net)
 
     if self.config.matching_dim is not None:
       f_matching = self.matching_proj(plane.features)

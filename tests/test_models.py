@@ -61,6 +61,30 @@ class TestBEVLocalizer:
                 'loc/recall_top1'):
       assert metrics[key].shape == (2,)
 
+  def test_bev_net_runs_and_keeps_contract(self, dataset, batch):
+    """bev_net (residual conv stack over the fused plane) preserves the
+    matching-plane shape/validity contract and produces finite grads.
+    Beyond-reference: upstream declared but never implemented it
+    (snap/models/bev_mapper.py:141-142)."""
+    from ml_collections import config_dict
+
+    model = build_localizer(dataset)
+    model.config.bev_mapper.bev_net = config_dict.ConfigDict(
+        dict(num_units=2))
+    variables, pred = init_and_apply(model, batch)
+    assert any('bev_net' in k for k in variables['params']['bev_mapper'])
+    grid = dataset.meta_data['grid']
+    h, w = grid.bev().extent
+    assert pred['map']['bev_matching'].features.shape == (2, h, w, 16)
+    feats = pred['map']['bev_features']
+    assert bool(jnp.isfinite(feats.features).all())
+    # Invalid cells stay zeroed after the convs.
+    masked = np.asarray(feats.features)[~np.asarray(feats.valid)]
+    np.testing.assert_array_equal(masked, 0)
+    losses, _ = model.loss_metrics_function(pred, batch, variables['params'])
+    assert bool(jnp.isfinite(losses['total']).all())
+    model.config.bev_mapper.bev_net = None
+
   def test_train_mode_runs(self, dataset, batch):
     model = build_localizer(dataset)
     _, pred = init_and_apply(model, batch, train=True)
