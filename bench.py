@@ -161,7 +161,9 @@ def bench_train_step():
   mesh = mesh_lib.make_mesh(None)
   rng = jax.random.PRNGKey(0)
   params, model_state, _ = trainer.initialize_model(
-      model_def=model.flax_model, dummy_input=dict(batch), rng=rng)
+      model_def=model.flax_model, dummy_input=dict(batch), rng=rng,
+      backend=None)  # on-accelerator init: the 1-core host CPU cannot
+  # compile+run the full-scale forward in bounded time (round-2 timeout).
   lr_fn = lr_schedules.get_learning_rate_fn(config)
   tx = optimizers.get_optimizer(config, lr_fn, params=params)
   repl = mesh_lib.replicated(mesh)

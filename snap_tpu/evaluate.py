@@ -6,8 +6,16 @@ Thin wrapper over the evaluator (reference: snap/evaluate.py).
 
 from __future__ import annotations
 
+import os
+
 from absl import app
 from absl import flags
+import jax
+
+# The axon sitecustomize force-sets jax_platforms='axon,cpu' AFTER env vars
+# are read; restore the user's explicit JAX_PLATFORMS choice.
+if (_platforms := os.environ.get('JAX_PLATFORMS')):
+  jax.config.update('jax_platforms', _platforms)
 
 from snap_tpu import evaluator
 from snap_tpu.utils.configs import load_config_module as load_config

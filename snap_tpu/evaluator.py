@@ -209,6 +209,13 @@ def get_model_and_dataset(
 
   logging.info('Loaded experiment %s at step %s.',
                workdir, raw.get('global_step'))
+  with config.unlocked():
+    if (step := raw.get('global_step')) is not None:
+      # Recorded in the dump so a cache hit can verify it evaluated the
+      # requested checkpoint (run_for_location).
+      config.eval_checkpoint_step = int(step)
+    if (gen := dataset.meta_data.get('generator_kind')) is not None:
+      config.data_generator_kind = gen  # dataset identity (ADVICE r2)
   return model, params, model_state, dataset, config, mesh
 
 
@@ -253,8 +260,25 @@ def run_for_location(
   experiment_config = config_utils.config_load(workdir)
   eval_path = workdir / 'evaluation' / f'{location}{eval_config.tag}'
   if (eval_path / 'results.npz').exists() and not eval_config.overwrite:
-    logging.info('Loading cached dump from %s.', eval_path)
-    return read_eval_dump(eval_path)
+    results, dump_config = read_eval_dump(eval_path)
+    # The cache is keyed by location+tag only; guard against silently
+    # returning a dump computed under a different protocol (e.g. a 256-
+    # example quick eval masquerading as the full 4096-example run, or a
+    # different checkpoint step).
+    requested_size = eval_config.data.loader.get('evaluation_size')
+    dumped_size = len(next(iter(results.values())))
+    size_ok = requested_size is None or dumped_size == requested_size
+    dumped_step = dump_config.get('eval_checkpoint_step')
+    step_ok = (eval_config.checkpoint_step is None or dumped_step is None
+               or dumped_step == eval_config.checkpoint_step)
+    if size_ok and step_ok:
+      logging.info('Loading cached dump from %s.', eval_path)
+      return results, dump_config
+    logging.warning(
+        'Cached dump at %s does not match the requested protocol '
+        '(%d examples dumped vs %s requested; checkpoint step %s vs %s) — '
+        'recomputing.', eval_path, dumped_size, requested_size,
+        dumped_step, eval_config.checkpoint_step)
   if fail_if_missing:
     raise ValueError(f'Missing dump for {workdir} at {eval_path}.')
   model, params, model_state, dataset, config, mesh = get_model_and_dataset(

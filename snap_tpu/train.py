@@ -22,6 +22,12 @@ from snap_tpu.utils.configs import load_config_module as load_config
 # Use most of the HBM; kernels here are large and static.
 os.environ.setdefault('XLA_PYTHON_CLIENT_MEM_FRACTION', '0.9')
 
+# The axon sitecustomize force-sets jax_platforms='axon,cpu' AFTER env vars
+# are read, silently sending "CPU" runs to the remote TPU tunnel; restore
+# the user's explicit JAX_PLATFORMS choice (tests/conftest.py does the same).
+if (_platforms := os.environ.get('JAX_PLATFORMS')):
+  jax.config.update('jax_platforms', _platforms)
+
 # Persistent compilation cache: restarts and resumed runs skip the multi-
 # minute XLA compile of the fused train step.
 jax.config.update('jax_compilation_cache_dir',
@@ -75,6 +81,12 @@ def main(argv):
       shuffle_seed=shuffle_seed,
       start_step=checkpoints.latest_step(workdir) or 0,
   )
+  if (gen_kind := dataset.meta_data.get('generator_kind')) is not None:
+    # Data identity depends on the generator path (device-jax vs host-numpy
+    # streams are only distributionally equal); record it in the run config.
+    with config.unlocked():
+      config.data_generator_kind = gen_kind
+    config_utils.config_save(workdir, config)
 
   writer = None
   try:

@@ -133,17 +133,22 @@ def initialize_model(
     model_def: nn.Module,
     dummy_input: base.Batch,
     rng: jax.Array,
+    backend: Optional[str] = 'cpu',
 ) -> Tuple[PyTree, PyTree, int]:
-  """Init params on the host (CPU) from a real dummy batch.
+  """Init params from a real dummy batch, on CPU by default.
 
   Reference rationale (snap/trainer.py:123-162): initializing from a real
   batch supports batches carrying arbitrary pytree objects, and CPU-side init
   avoids double device allocation before sharded placement.
+  ``backend=None`` initializes on the default (accelerator) backend instead:
+  on a 1-core host the CPU compile+execute of a full-scale forward takes
+  tens of minutes, while the accelerator does it in seconds — single-chip
+  benches and full-scale runs should prefer it.
   """
   dummy_input = jax.device_get(dummy_input)
   dummy_input.pop('_host', None)
 
-  @functools.partial(jax.jit, backend='cpu')
+  @functools.partial(jax.jit, backend=backend)
   def _initialize_model(rngs, batch):
     variables = model_def.init(rngs, batch, train=False)
     return variables
@@ -355,6 +360,7 @@ def _train(
       model_def=model.flax_model,
       dummy_input=dataset.meta_data['get_dummy_batch_fn'](),
       rng=init_rng,
+      backend=config.get('init_backend', 'cpu'),
   )
   has_model_state = bool(
       jax.tree_util.tree_leaves(model_state.get('batch_stats', {})))

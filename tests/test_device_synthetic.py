@@ -129,6 +129,49 @@ def test_eval_iterator_masks_padding():
   np.testing.assert_array_equal(np.asarray(b1['batch_mask']), [1.0, 0.0])
 
 
+def test_device_generation_with_mesh_shards_batch_mask():
+  """On-device generation under a data mesh: every batch leaf including
+  batch_mask carries the data sharding (ADVICE r2: an unsharded mask next
+  to sharded outputs relied on silent jit auto-resharding)."""
+  from snap_tpu.parallel import mesh as mesh_lib
+
+  config = _small_data_config()
+  config.on_device_generation = True
+  mesh = mesh_lib.make_mesh(None)
+  ds = data_loader.get_dataset(
+      batch_size=8, eval_batch_size=8, dataset_configs=config,
+      mesh=mesh, shuffle_seed=3, start_step=0)
+  batch = next(ds.train_iter)
+  batch.pop('_host', None)
+  mask = batch['batch_mask']
+  data_leaves = [batch['overlap'], batch['map']['images'], mask]
+  for leaf in data_leaves:
+    assert len(leaf.sharding.device_set) == mesh.devices.size, leaf.sharding
+  assert mask.sharding.is_equivalent_to(
+      batch['overlap'].sharding, mask.ndim)
+
+  # Real overlap (not the old constant 0.5): per-example variation.
+  overlap = np.asarray(batch['overlap'])
+  assert (overlap >= 0.0).all() and (overlap <= 1.0).all()
+  assert np.unique(overlap).size > 1, overlap
+
+
+def test_pair_scene_view_overlap_matches_host():
+  """Device and host PAIR_SCENE_VIEW overlaps follow the same definition
+  (fraction of query-frustum cells covered by the map rig)."""
+  config = _small_data_config()
+  vals = {}
+  for on_device in (True, False):
+    config.on_device_generation = on_device
+    ds = data_loader.get_dataset(
+        batch_size=4, eval_batch_size=4, dataset_configs=config,
+        mesh=None, shuffle_seed=3, start_step=0)
+    vals[on_device] = np.asarray(next(ds.train_iter)['overlap'])
+  for overlap in vals.values():
+    assert (overlap >= 0.0).all() and (overlap <= 1.0).all()
+    assert np.unique(overlap).size > 1, overlap
+
+
 def test_single_scene_mode_schema_with_lidar():
   config = _small_data_config()
   config.mode = 'single_scene'

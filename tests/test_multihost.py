@@ -86,7 +86,31 @@ s, c = metrics['loss/total']
 loss = float(jax.device_get(s)) / float(jax.device_get(c))
 assert np.isfinite(loss), loss
 assert int(jax.device_get(c)) == GLOBAL_BATCH
-print(f'RESULT pid={pid} loss={loss:.6f} img_mean={img_mean:.6f}', flush=True)
+
+# Multi-process ON-DEVICE generation: each process generates its block on
+# its own devices; the assembled global array must place example i at
+# global index i (make_example is a pure function of (spec, seed, index)).
+from jax.experimental import multihost_utils
+from snap_tpu.data import device_synthetic, types as data_types
+cfg2 = helpers.tiny_dataset_config(num_workers=1)
+cfg2.on_device_generation = True
+ds2 = data_loader.get_dataset(
+    batch_size=GLOBAL_BATCH, eval_batch_size=GLOBAL_BATCH,
+    dataset_configs=cfg2, mesh=mesh)
+assert ds2.meta_data['generator_kind'] == 'device-jax'
+b2 = next(ds2.train_iter)
+b2.pop('_host', None)
+assert b2['overlap'].shape[0] == GLOBAL_BATCH
+ov_global = np.asarray(
+    multihost_utils.process_allgather(b2['overlap'], tiled=True))
+spec = ds2.meta_data['device_spec']
+seed = data_loader.location_seed(cfg2.locations.training, 0)
+ref_fn = jax.jit(lambda i: device_synthetic.make_example(
+    spec, data_types.DataMode.PAIR_SCENE_VIEW, seed, i)['overlap'])
+expected = [float(ref_fn(jnp.asarray(i))) for i in range(GLOBAL_BATCH)]
+np.testing.assert_allclose(ov_global, expected, rtol=1e-5)
+print(f'RESULT pid={pid} loss={loss:.6f} img_mean={img_mean:.6f} '
+      f'devgen_ok=1', flush=True)
 """
 
 
