@@ -90,8 +90,8 @@ def base() -> config_dict.ConfigDict:
           checkpoint_steps=config_dict.placeholder(int),
           max_checkpoints_to_keep=10,
           # 'cpu' (reference behavior: host-side init, no double device
-          # alloc) or None for the default accelerator backend — on 1-core
-          # hosts a full-scale CPU init takes tens of minutes.
+          # alloc) or 'device' for the default accelerator backend — on
+          # 1-core hosts a full-scale CPU init takes tens of minutes.
           init_backend='cpu',
           # device mesh: axis sizes; -1 means "all remaining devices".
           mesh=dict(data=-1, model=1),

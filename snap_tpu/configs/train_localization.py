@@ -26,7 +26,13 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   config.model.num_pose_samples = 10_000
   config.model.num_pose_sampling_retries = 8
 
-  args = defaults.parse_argument_string(args_str)
+  args = defaults.parse_argument_string(
+      args_str,
+      image_encoder='R50',
+      modalities='streetview+aerial',
+      pose_backend='ransac',
+      scale='full',
+  )
   image_encoder = defaults.resnet(args['image_encoder'])
 
   config.model.pose_backend = args['pose_backend']
@@ -55,6 +61,11 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   cities = defaults.DATA_SPLITS_CITIES['train']
   locations = ','.join(f'{c}-synthetic' for c in cities)
   small = args['scale'] == 'small'
+  # 'full1chip': the reference scene scale (0.2 m voxels, R50, 20 views)
+  # with the per-chip shard of the reference's global batch 32 — what one
+  # v5e chip can run by itself (16 data-parallel chips recover the paper
+  # recipe; bench.py TRAIN_BATCH documents the HBM envelope).
+  one_chip = args['scale'] == 'full1chip'
   config.data = defaults.streetview_singlescene()
   config.data.update(
       dict(
@@ -66,7 +77,7 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
               (defaults.MapModalities.AERIAL in map_modalities)
               or (defaults.MapModalities.SEMANTIC in map_modalities)
           ),
-          evaluation_size=64 if small else 8_192,
+          evaluation_size=64 if small else (32 if one_chip else 8_192),
           training_size_per_builder=5_000_000,
           num_views=10 if small else 20,
           num_workers=8 if small else 2,
@@ -74,7 +85,27 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   )
   if small:
     config.data.image_size = (90, 120)
-  config.batch_size = 8 if small else 32
+  config.batch_size = 8 if small else (2 if one_chip else 32)
+
+  if one_chip:
+    # Single-chip full-scale schedule: frequent checkpoints (the chip is
+    # shared with benchmarks), warmup for the small batch, accelerator init.
+    config.checkpoint_steps = 500
+    config.log_summary_steps = 100
+    config.log_eval_steps = 2_000
+    config.steps_per_eval = 8
+    config.num_training_steps = 20_000
+    config.lr_configs.warmup_steps = 1_000
+    config.lr_configs.start_decay_step = 4_000
+    config.lr_configs.base_learning_rate = 2e-4
+    config.lr_configs.factors = 'constant * linear_warmup * cosine_decay'
+    config.lr_configs.steps_per_cycle = config.get_ref(
+        'num_training_steps'
+    ) - config.lr_configs.get_ref('start_decay_step')
+    config.max_grad_norm = 1.0
+    config.dtype_str = 'bfloat16'
+    config.init_backend = 'device'
+    return config
 
   if small:
     # From-scratch convergence on synthetic data: short schedule, higher lr.

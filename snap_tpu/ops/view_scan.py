@@ -609,12 +609,21 @@ def pool_views_stream(
       x = x.reshape(b, num_tiles, tile, *x.shape[2:])
       return jnp.moveaxis(x, 1, 0)
 
+    tiles = jax.tree_util.tree_map(to_tiles, sel)
     # Rematerialize each tile body: its patch transients are recomputed in
-    # the backward instead of being saved across the whole map.
-    stats, valid = jax.lax.map(
-        jax.checkpoint(pool_tile), jax.tree_util.tree_map(to_tiles, sel))
-    stats = jnp.moveaxis(stats, 0, 1).reshape(b, -1, stats.shape[-1])[:, :n]
-    valid = jnp.moveaxis(valid, 0, 1).reshape(b, -1)[:, :n]
+    # the backward instead of being saved across the whole map. The tiles
+    # run as an UNROLLED Python loop, not lax.map: grad-of-scan-of-remat is
+    # the composition the XLA TPU compiler cannot schedule at full scale
+    # (round-2 gap #3 — 25+ min compiles / compiler OOM even with the
+    # fused gather VJP), while the flat unrolled graph compiles in ~2 min
+    # and lets the scheduler serialize tile backwards for minimal memory.
+    body = jax.checkpoint(pool_tile)
+    outs = [
+        body(jax.tree_util.tree_map(lambda x, t=t: x[t], tiles))
+        for t in range(num_tiles)
+    ]
+    stats = jnp.concatenate([o[0] for o in outs], axis=1)[:, :n]
+    valid = jnp.concatenate([o[1] for o in outs], axis=1)[:, :n]
   else:
     stats, valid = pool_tile(sel)
   return ViewScanOutput(stats=stats, valid=valid, min_distance=min_dist)

@@ -360,7 +360,8 @@ def _train(
       model_def=model.flax_model,
       dummy_input=dataset.meta_data['get_dummy_batch_fn'](),
       rng=init_rng,
-      backend=config.get('init_backend', 'cpu'),
+      backend=(None if config.get('init_backend', 'cpu') == 'device'
+               else config.get('init_backend', 'cpu')),
   )
   has_model_state = bool(
       jax.tree_util.tree_leaves(model_state.get('batch_stats', {})))
