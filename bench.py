@@ -157,6 +157,13 @@ def bench_train_step():
   from snap_tpu.train_lib import trainer
 
   config, model, batch, _ = build(TRAIN_BATCH)
+  # 4 unrolled lift tiles: the measured compile/HBM sweet spot at batch 2
+  # (tools/probe_train_compile.py: compiles ~4 min, runs 2.9 s/step; the
+  # untiled step needs 21.6G > 15.75G, lax.map tiling stalls the compiler).
+  config.model.bev_mapper.streetview_encoder.point_tile = 288_000
+  from snap_tpu.models import bev_localizer
+  model = bev_localizer.BEVLocalizerModel(
+      config.model, model.dataset_meta_data, jnp.bfloat16)
   config.lr_configs.base_learning_rate = 1e-4
   mesh = mesh_lib.make_mesh(None)
   rng = jax.random.PRNGKey(0)
@@ -216,7 +223,7 @@ def main():
     raise TimeoutError('train-step bench exceeded its time budget')
 
   signal.signal(signal.SIGALRM, _alarm)
-  signal.alarm(900)
+  signal.alarm(1500)  # cold: ~390 s on-TPU init + ~250 s compile + timing
   try:
     train_step_sec, train_hbm_gb = bench_train_step()
   except Exception as e:  # pylint: disable=broad-except

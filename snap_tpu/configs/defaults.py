@@ -243,6 +243,9 @@ def streetview_encoder() -> config_dict.ConfigDict:
           #           the k selected views (TPU-preferred).
           pooling_impl='stream',
           point_tile=131072,
+          # Eval-time lift tiling (0 = untiled peak-throughput): bounds the
+          # [B, N, 2, 2, C] gather transient for large eval batches.
+          point_tile_eval=0,
       )
   ).lock()
 

@@ -90,6 +90,10 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   if one_chip:
     # Single-chip full-scale schedule: frequent checkpoints (the chip is
     # shared with benchmarks), warmup for the small batch, accelerator init.
+    if defaults.MapModalities.STREETVIEW in map_modalities:
+      # 4 unrolled lift tiles: the measured HBM/compile sweet spot at
+      # batch 2 (tools/probe_train_compile.py; docs/PERFORMANCE.md).
+      config.model.bev_mapper.streetview_encoder.point_tile = 288_000
     config.checkpoint_steps = 500
     config.log_summary_steps = 100
     config.log_eval_steps = 2_000

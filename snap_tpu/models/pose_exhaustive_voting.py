@@ -238,7 +238,11 @@ def template_matching_fft(
     corr = jnp.fft.irfft2(prod, s=(fft_h, fft_w), axes=(1, 2))
     return corr[:, :out_h, :out_w]
 
-  scores = jax.lax.map(correlate_chunk, q_chunks)
+  # Remat the chunk body: under grad, the scan otherwise SAVES each chunk's
+  # [chunk, fft_h, fft_w/2+1, D] template spectrum as a residual — i.e. the
+  # full-R spectrum tensor the chunking exists to avoid (~2 GB at training
+  # scale); recomputing the FFTs in the backward is cheap.
+  scores = jax.lax.map(jax.checkpoint(correlate_chunk), q_chunks)
   scores = scores.reshape(-1, out_h, out_w)[:r]
 
   if min_overlap is not None:

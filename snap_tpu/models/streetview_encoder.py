@@ -178,13 +178,17 @@ class StreetViewEncoder(nn.Module):
     )
     if impl == 'stream':
       # Training tiles the points so the backward's per-tile patch
-      # transients stay bounded (an untiled batch-4 backward materializes
-      # an 18.9 GB patch product); eval runs untiled for peak throughput.
+      # transients stay bounded; eval defaults to untiled for peak
+      # throughput, with point_tile_eval available to trade a little
+      # throughput for the [B, N, 2, 2, C] gather transient (enables the
+      # reference's batch-4 eval protocol on a 16 GB chip).
       if train:
         tile = self.config.get('point_tile')
         # 0 = untiled: with the fused bilinear_patch_combine VJP the
         # backward transients are bounded without tiling (ops/view_scan.py).
         kwargs['point_tile'] = 131072 if tile is None else tile
+      elif (tile_eval := self.config.get('point_tile_eval')):
+        kwargs['point_tile'] = tile_eval
       # Rematerialize the lifting: the gather/accumulate intermediates are
       # recomputed in the backward pass instead of persisting in HBM.
       lift = jax.checkpoint(

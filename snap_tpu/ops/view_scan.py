@@ -528,6 +528,48 @@ def pool_views_stream(
 
   size = jnp.asarray([h, w], p2d_all.dtype)
 
+  def rank_step(carry, idx_k, p2d, select, depth):
+    """One rank's gather + online-softmax update (checkpointed per rank:
+    the tile backward then holds O(ranks) carry states instead of every
+    rank's gather/convert recomputes simultaneously — the ~12 concurrent
+    [B, T, C] f32 transients that blew the full-scale HBM budget)."""
+    m, l, s1, s2, f_min, f_max, count = carry
+
+    pts = jnp.clip(p2d - 0.5, 0, size - 1)
+    lower = jnp.floor(pts).astype(jnp.int32)
+    frac = (pts - lower).astype(stack.dtype)
+
+    t = p2d.shape[1]
+    w_i = jnp.stack([1 - frac[..., 0], frac[..., 0]], -1)  # [B, T, 2]
+    w_j = jnp.stack([1 - frac[..., 1], frac[..., 1]], -1)
+    weights = w_i[..., :, None] * w_j[..., None, :]  # [B, T, 2, 2]
+    f_k = bilinear_patch_combine(
+        stack, idx_k * (h + 1) + lower[..., 0], lower[..., 1], weights
+    ).astype(acc)
+    if weighted:
+      f_k, score_scales = f_k[..., :dim], f_k[..., dim:]
+      score = _interp_depth_score_1d(
+          score_scales.reshape(b * t, -1), depth.reshape(b * t),
+          depth_min_max).reshape(b, t)
+    else:
+      score = jnp.zeros((b, t), acc)
+    score = jnp.where(select, score, NEG_INF)
+
+    new_m = jnp.maximum(m, score)
+    safe_m = jnp.where(new_m <= NEG_INF, 0.0, new_m)
+    rescale = jnp.exp(jnp.where(m <= NEG_INF, NEG_INF, m) - safe_m)
+    wv = jnp.exp(score - safe_m) * select
+    l = l * rescale + wv
+    s1 = s1 * rescale[..., None] + wv[..., None] * f_k
+    s2 = s2 * rescale[..., None] + wv[..., None] * f_k * f_k
+    if add_minmax:
+      f_min = jnp.where(select[..., None], jnp.minimum(f_min, f_k), f_min)
+      f_max = jnp.where(select[..., None], jnp.maximum(f_max, f_k), f_max)
+    count = count + select
+    return new_m, l, s1, s2, f_min, f_max, count
+
+  rank_step_remat = jax.checkpoint(rank_step)
+
   def pool_tile(tile_sel):
     """Gather + online-softmax pool one tile: [B, T, K, ...] -> [B, T, C]."""
     p2d_t, vis_t, depth_t, idx_t = tile_sel
@@ -540,43 +582,12 @@ def pool_views_stream(
     f_max = jnp.full((b, t, dim), -jnp.inf, acc)
     count = jnp.zeros((b, t), acc)
 
+    carry = (m, l, s1, s2, f_min, f_max, count)
     for k in range(top_k):
-      idx_k = idx_t[..., k]  # [B, T]
-      p2d = p2d_t[..., k, :]
-      select = vis_t[..., k]
-      depth = depth_t[..., k]
-
-      pts = jnp.clip(p2d - 0.5, 0, size - 1)
-      lower = jnp.floor(pts).astype(jnp.int32)
-      frac = (pts - lower).astype(stack.dtype)
-
-      w_i = jnp.stack([1 - frac[..., 0], frac[..., 0]], -1)  # [B, T, 2]
-      w_j = jnp.stack([1 - frac[..., 1], frac[..., 1]], -1)
-      weights = w_i[..., :, None] * w_j[..., None, :]  # [B, T, 2, 2]
-      f_k = bilinear_patch_combine(
-          stack, idx_k * (h + 1) + lower[..., 0], lower[..., 1], weights
-      ).astype(acc)
-      if weighted:
-        f_k, score_scales = f_k[..., :dim], f_k[..., dim:]
-        score = _interp_depth_score_1d(
-            score_scales.reshape(b * t, -1), depth.reshape(b * t),
-            depth_min_max).reshape(b, t)
-      else:
-        score = jnp.zeros((b, t), acc)
-      score = jnp.where(select, score, NEG_INF)
-
-      new_m = jnp.maximum(m, score)
-      safe_m = jnp.where(new_m <= NEG_INF, 0.0, new_m)
-      rescale = jnp.exp(jnp.where(m <= NEG_INF, NEG_INF, m) - safe_m)
-      wv = jnp.exp(score - safe_m) * select
-      m = new_m
-      l = l * rescale + wv
-      s1 = s1 * rescale[..., None] + wv[..., None] * f_k
-      s2 = s2 * rescale[..., None] + wv[..., None] * f_k * f_k
-      if add_minmax:
-        f_min = jnp.where(select[..., None], jnp.minimum(f_min, f_k), f_min)
-        f_max = jnp.where(select[..., None], jnp.maximum(f_max, f_k), f_max)
-      count = count + select
+      carry = rank_step_remat(
+          carry, idx_t[..., k], p2d_t[..., k, :], vis_t[..., k],
+          depth_t[..., k])
+    m, l, s1, s2, f_min, f_max, count = carry
 
     valid = count > 0
     l_safe = jnp.maximum(l, 1e-20)

@@ -154,7 +154,15 @@ def initialize_model(
     return variables
 
   rngs = dict(zip(('params', 'sampling'), jax.random.split(rng, 2)))
-  variables = _initialize_model(rngs, dummy_input)
+  try:
+    variables = _initialize_model(rngs, dummy_input)
+  except RuntimeError as e:
+    if backend is None or 'Unknown backend' not in str(e):
+      raise
+    # Pure-accelerator platform (JAX_PLATFORMS without cpu): init on the
+    # default device instead.
+    variables = jax.jit(
+        lambda r, b: model_def.init(r, b, train=False))(rngs, dummy_input)
   variables = update_pretrained_variables(model_def, variables)
   variables = flax.core.unfreeze(variables)
   init_params = variables.pop('params')
@@ -377,10 +385,17 @@ def _train(
     dynamic_scale = dynamic_scale_lib.DynamicScale(minimum_scale=256.0)
 
   rng, train_rng, eval_rng = jax.random.split(rng, 3)
+  # Optimizer state init prefers the host CPU (no device alloc before
+  # sharded placement), but a pure-accelerator platform (JAX_PLATFORMS
+  # without cpu) has no such backend — fall back to the default device.
+  try:
+    opt_state = jax.jit(tx.init, backend='cpu')(params)
+  except RuntimeError:
+    opt_state = jax.jit(tx.init)(params)
   host_state = dict(
       global_step=jnp.zeros((), jnp.int32),
       params=params,
-      opt_state=jax.jit(tx.init, backend='cpu')(params),
+      opt_state=opt_state,
       model_state=model_state,
       rng=train_rng,
   )
