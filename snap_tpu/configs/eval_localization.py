@@ -11,7 +11,8 @@ from snap_tpu.configs import defaults
 def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   """Return the config. Args DSL: ``evaluation_size=256,batch_size=8``."""
   args = defaults.parse_argument_string(
-      args_str, evaluation_size=4096, batch_size=4)
+      args_str, evaluation_size=4096, batch_size=4, tag='',
+      num_rotations=0)
   config = config_dict.create(
       workdir=config_dict.placeholder(str),
       checkpoint_step=config_dict.placeholder(int),
@@ -34,4 +35,8 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   )
   config.batch_size = int(args['batch_size'])
   config.data.loader.evaluation_size = int(args['evaluation_size'])
+  config.tag = str(args['tag'])
+  if int(args['num_rotations']):
+    # Dense-backend override: finer coarse rotation bins at eval time.
+    config.model.num_rotations = int(args['num_rotations'])
   return config.lock()
