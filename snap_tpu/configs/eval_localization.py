@@ -12,7 +12,7 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   """Return the config. Args DSL: ``evaluation_size=256,batch_size=8``."""
   args = defaults.parse_argument_string(
       args_str, evaluation_size=4096, batch_size=4, tag='',
-      num_rotations=0)
+      num_rotations=0, refinement_stages='')
   config = config_dict.create(
       workdir=config_dict.placeholder(str),
       checkpoint_step=config_dict.placeholder(int),
@@ -39,4 +39,11 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   if int(args['num_rotations']):
     # Dense-backend override: finer coarse rotation bins at eval time.
     config.model.num_rotations = int(args['num_rotations'])
+  if args['refinement_stages']:
+    # Dense-refinement fan override, e.g. '5x0.25' (one ±5° fan at 0.25°,
+    # the round-2 behavior) or '11x1+1.25x0.125' (the re-centered default).
+    config.model.dense_refinement_stages = tuple(
+        tuple(float(v) for v in stage.split('x'))
+        for stage in str(args['refinement_stages']).split('+')
+    )
   return config.lock()

@@ -47,6 +47,18 @@ def test_lr_field_references_propagate():
   assert config.lr_configs.start_decay_step == 50
 
 
+def test_eval_localization_args_dsl():
+  config = eval_localization.get_config(
+      'num_rotations=128,refinement_stages=5x0.25,tag=-abl')
+  assert config.model.num_rotations == 128
+  assert config.model.dense_refinement_stages == ((5.0, 0.25),)
+  assert config.tag == '-abl'
+  config = eval_localization.get_config('refinement_stages=11x1+1.25x0.125')
+  assert config.model.dense_refinement_stages == ((11.0, 1.0), (1.25, 0.125))
+  # No override: the experiment/default stages must survive the merge.
+  assert 'dense_refinement_stages' not in eval_localization.get_config().model
+
+
 def test_parse_argument_string():
   args = defaults.parse_argument_string('image_encoder=R101')
   assert args == {'image_encoder': 'R101', 'modalities': 'streetview+aerial',
