@@ -24,6 +24,8 @@ import functools
 import sys
 import time
 
+sys.path.insert(0, '.')
+
 import jax
 import jax.numpy as jnp
 import numpy as np
