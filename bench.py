@@ -39,8 +39,13 @@ import jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-EVAL_BATCH = 2  # Largest eval-scale batch that fits one chip's HBM (batch 4
-# fails to compile: 15.79G of 15.75G hbm; measured 2026-08-16).
+EVAL_BATCH = 4  # The reference eval protocol batch
+# (snap/configs/eval_localization.py:26-28). With the eval-side lift tiling
+# (POINT_TILE_EVAL below) this needs 6.91G of 15.75G HBM and is the
+# measured throughput sweet spot: 3.96 q/s vs 3.87 (batch 2, untiled)
+# and 3.54 (batch 8, 13.57G); untiled batch 4 was a compile-time OOM at
+# 15.79G (probed 2026-08-17, tools/probe_eval_hbm.py).
+POINT_TILE_EVAL = 288_000  # Bounds the lift's gather transient at eval.
 TRAIN_BATCH = 2  # Per-chip shard: reference global batch 32 = 16 v5e chips
 # x 2 (batch 4/chip needs 19.3G > 15.75G HBM; the reference trained on
 # larger-HBM chips).
@@ -123,7 +128,11 @@ def time_fn(fn, *args, iters: int = NUM_ITERS) -> float:
 
 def bench_eval():
   """End-to-end localization + map construction at eval scale."""
-  _, model, batch, _ = build(EVAL_BATCH)
+  config, model, batch, _ = build(EVAL_BATCH)
+  config.model.bev_mapper.streetview_encoder.point_tile_eval = POINT_TILE_EVAL
+  from snap_tpu.models import bev_localizer
+  model = bev_localizer.BEVLocalizerModel(
+      config.model, model.dataset_meta_data, jnp.bfloat16)
   rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1)}
   variables = jax.jit(
       lambda b: model.flax_model.init(rngs, b, train=False))(batch)
@@ -212,25 +221,47 @@ def bench_train_step():
   return times[len(times) // 2], hbm_gb
 
 
-def main():
-  queries_per_sec, maps_per_sec = bench_eval()
-  # Bound the train-step section: through the remote-compile tunnel a cold
-  # full-scale fwd+bwd compile can take tens of minutes (or die in the
-  # compiler); the eval headline must be emitted regardless.
-  import signal
+def _bench_train_step_subprocess():
+  """Run bench_train_step in a fresh process and parse its result.
 
-  def _alarm(signum, frame):
-    raise TimeoutError('train-step bench exceeded its time budget')
+  The full-scale step fits 15.75G HBM with no slack; residual buffers from
+  the eval section (measured: RESOURCE_EXHAUSTED when sharing the process)
+  and a same-process device client would break it. A clean process also
+  bounds cold-compile time without poisoning the eval headline.
+  """
+  import subprocess
+  import sys
 
-  signal.signal(signal.SIGALRM, _alarm)
-  signal.alarm(1500)  # cold: ~390 s on-TPU init + ~250 s compile + timing
   try:
+    proc = subprocess.run(
+        [sys.executable, __file__, '--train-only'],
+        capture_output=True, text=True, timeout=1800,
+    )  # cold: ~390 s on-TPU init + ~250 s compile + timing
+  except subprocess.TimeoutExpired:
+    print('# train-step bench failed: timeout')
+    return None, None
+  for line in proc.stdout.splitlines():
+    if line.startswith('{'):
+      d = json.loads(line)
+      return d.get('train_step_sec'), d.get('train_hbm_gb')
+  tail = (proc.stderr or proc.stdout or '').strip().splitlines()[-3:]
+  print(f'# train-step bench failed (rc={proc.returncode}): {" | ".join(tail)}')
+  return None, None
+
+
+def main():
+  import sys
+
+  if '--train-only' in sys.argv:
     train_step_sec, train_hbm_gb = bench_train_step()
-  except Exception as e:  # pylint: disable=broad-except
-    print(f'# train-step bench failed: {type(e).__name__}: {e}')
-    train_step_sec, train_hbm_gb = None, None
-  finally:
-    signal.alarm(0)
+    print(json.dumps(
+        {'train_step_sec': train_step_sec, 'train_hbm_gb': train_hbm_gb}))
+    return
+
+  # Train first: the parent's jax backend initializes lazily, so the chip
+  # is exclusively the subprocess's until it exits; then eval runs here.
+  train_step_sec, train_hbm_gb = _bench_train_step_subprocess()
+  queries_per_sec, maps_per_sec = bench_eval()
 
   pose_hypotheses_per_sec = queries_per_sec * POSES_PER_QUERY
   out = {

@@ -368,9 +368,14 @@ def bev_localizer() -> config_dict.ConfigDict:
           pose_backend='ransac',
           num_rotations=64,  # exhaustive backend only
           # Dense-refinement (range_deg, delta_deg) fans, each re-centered
-          # on the previous best. The wide stage reaches ±2 coarse bins
-          # (64 rotations = 5.625° bins), the narrow one resolves 1/8°.
-          dense_refinement_stages=((11.0, 1.0), (1.25, 0.125)),
+          # on the previous best. Default: one ±5° fan (the reference's
+          # refinement budget, pose_estimation.py:178-184). A wide+narrow
+          # two-stage schedule (e.g. ((11,1),(1.25,0.125))) reaches ±2
+          # coarse rotation bins, but the measured ablation
+          # (results/run_small/rotation_ablation.json) shows rotation
+          # outliers are wrong-mode failures that wider eval fans do not
+          # recover, so the faster single fan stays the default.
+          dense_refinement_stages=((5.0, 0.25),),
       )
   ).lock()
 

@@ -3,11 +3,17 @@
 Runs the offline evaluator on the same checkpoint under three dense-backend
 rotation configurations and reports recall@{0.5,1,2}° / @{0.5,1,2} m:
 
-- ``r2fan``: 64 coarse rotations + the round-2 single ±5° fan (0.25° step) —
-  a wrong coarse bin (5.625° bins) is unrecoverable.
-- ``default``: 64 rotations + the re-centered two-stage fan
+- ``fan5``: 64 coarse rotations + a single ±5° fan (0.25° step) — the
+  default; a wrong coarse bin (5.625° bins) is unrecoverable.
+- ``two_stage``: 64 rotations + a re-centered two-stage fan
   (±11° @ 1° then ±1.25° @ 0.125°) — reaches ±2 coarse bins.
-- ``rot128``: 128 coarse rotations (2.8125° bins) + the two-stage fan.
+- ``rot128``: 128 coarse rotations (2.8125° bins) + the single fan.
+
+Measured outcome on the 20k-step run_small checkpoint
+(results/run_small/rotation_ablation.json, recorded under the old labels
+r2fan/default=two-stage/rot128): all three are statistically identical —
+rotation outliers are wrong-mode score-landscape failures, not coarse-bin
+quantization, so the fast single fan is the shipped default.
 
 Reference refinement budget: snap/models/pose_estimation.py:168-205.
 
@@ -28,8 +34,9 @@ import numpy as np
 sys.path.insert(0, '.')
 
 VARIANTS = {
-    'r2fan': dict(num_rotations=0, refinement_stages='5x0.25'),
-    'default': dict(num_rotations=0, refinement_stages=''),
+    'fan5': dict(num_rotations=0, refinement_stages=''),
+    'two_stage': dict(
+        num_rotations=0, refinement_stages='11x1+1.25x0.125'),
     'rot128': dict(num_rotations=128, refinement_stages=''),
 }
 DEG_THRESHOLDS = (0.5, 1.0, 2.0)
@@ -71,7 +78,9 @@ def main():
     with config.unlocked():
       config.workdir = workdir
       config.data.split = ','.join(cities)
-      config.tag = '' if name == 'default' else f'-rotabl-{name}'
+      # fan5 is the shipped default config -> it doubles as the headline
+      # ('' tag) dump; the others are tagged ablation dumps.
+      config.tag = '' if name == 'fan5' else f'-rotabl-{name}'
       # The headline ('') dump may predate this checkpoint; force recompute
       # so every variant evaluates the same (latest) step.
       config.overwrite = True
