@@ -67,6 +67,33 @@ def restore_checkpoint(
     return restored, int(step)
 
 
+def restore_checkpoint_placed(
+    workdir: str | pathlib.Path,
+    abstract_state: Any,
+    step: Optional[int] = None,
+) -> tuple[Any, int]:
+  """Restore directly into the device placement of ``abstract_state``.
+
+  ``abstract_state`` is a pytree of ``jax.ShapeDtypeStruct`` whose
+  ``sharding`` fields carry the target placement: orbax materializes every
+  leaf straight into its final (possibly mesh-sharded) buffers. Unlike
+  ``restore_checkpoint`` (restore to default device, then ``device_put``
+  to the mesh), resume never holds init + restored + placed copies of the
+  state at once — the triple transient pushed the 15.75G-tight full-scale
+  per-chip-batch-2 train step into ResourceExhausted on resume.
+  """
+  with _manager(workdir) as mngr:
+    step = step if step is not None else mngr.latest_step()
+    if step is None:
+      return None, 0
+    restored = mngr.restore(
+        step, args=ocp.args.StandardRestore(abstract_state))
+    logging.info(
+        'Restored checkpoint at step %d from %s (sharded placement).',
+        step, workdir)
+    return restored, int(step)
+
+
 def restore_raw(
     workdir: str | pathlib.Path, step: Optional[int] = None
 ) -> dict:

@@ -402,9 +402,7 @@ def _train(
   if dynamic_scale is not None:
     host_state['dynamic_scale'] = dynamic_scale
   start_step = 0
-  if config.checkpoint:
-    host_state, start_step = checkpoints.restore_checkpoint(
-        workdir, host_state)
+  ckpt_step = checkpoints.latest_step(workdir) if config.checkpoint else None
 
   # Shard params over the mesh (TP where rules apply, else replicated). The
   # optimizer state starts replicated; XLA propagates shardings through the
@@ -412,18 +410,46 @@ def _train(
   repl = mesh_lib.replicated(mesh)
   param_shardings = mesh_lib.infer_param_shardings(
       params, mesh, min_dim=config.get('tp_min_dim') or 256)
-  train_state = TrainState(
-      global_step=mesh_lib.put_host_tree(host_state['global_step'], repl),
-      params=mesh_lib.put_host_tree(host_state['params'], param_shardings),
-      opt_state=mesh_lib.put_host_tree(host_state['opt_state'], repl),
-      model_state=mesh_lib.put_host_tree(host_state['model_state'], repl),
-      rng=mesh_lib.put_host_tree(host_state['rng'], repl),
-      tx=tx,
-      dynamic_scale=(
-          mesh_lib.put_host_tree(host_state['dynamic_scale'], repl)
-          if dynamic_scale is not None else None),
-  )
-  del host_state, params, model_state
+  state_shardings = {
+      k: (param_shardings if k == 'params'
+          else jax.tree_util.tree_map(lambda _: repl, v))
+      for k, v in host_state.items()
+  }
+  if ckpt_step is not None:
+    # Resume: restore straight into the mesh placement. The abstract state
+    # carries shapes/dtypes/shardings only; the init arrays are dropped
+    # FIRST, so peak HBM is one state copy (init-then-restore-then-put held
+    # three, which OOMed the full-scale per-chip-batch-2 resume).
+    abstract = jax.tree_util.tree_map(
+        lambda x, s: jax.ShapeDtypeStruct(
+            jnp.shape(x), jnp.result_type(x), sharding=s),
+        host_state, state_shardings)
+    del host_state, params, opt_state, model_state
+    restored, start_step = checkpoints.restore_checkpoint_placed(
+        workdir, abstract, ckpt_step)
+    train_state = TrainState(
+        global_step=restored['global_step'],
+        params=restored['params'],
+        opt_state=restored['opt_state'],
+        model_state=restored['model_state'],
+        rng=restored['rng'],
+        tx=tx,
+        dynamic_scale=restored.get('dynamic_scale'),
+    )
+    del restored
+  else:
+    train_state = TrainState(
+        global_step=mesh_lib.put_host_tree(host_state['global_step'], repl),
+        params=mesh_lib.put_host_tree(host_state['params'], param_shardings),
+        opt_state=mesh_lib.put_host_tree(host_state['opt_state'], repl),
+        model_state=mesh_lib.put_host_tree(host_state['model_state'], repl),
+        rng=mesh_lib.put_host_tree(host_state['rng'], repl),
+        tx=tx,
+        dynamic_scale=(
+            mesh_lib.put_host_tree(host_state['dynamic_scale'], repl)
+            if dynamic_scale is not None else None),
+    )
+    del host_state, params, model_state
 
   train_step_jit = _under_mesh(jax.jit(
       functools.partial(
