@@ -55,7 +55,7 @@ NUM_ROTATIONS = 64
 POSES_PER_QUERY = 20_000 + 41 * 41 * 41
 
 
-def build_config(batch_size: int):
+def build_config(batch_size: int, point_tile_eval: int = 0):
   from snap_tpu.configs import defaults
 
   config = defaults.base()
@@ -72,6 +72,10 @@ def build_config(batch_size: int):
   config.model.clip_negative_scores = False
   config.model.do_grid_refinement = True
   config.model.bev_mapper = defaults.bev_mapper(('streetview', 'aerial'))
+  if point_tile_eval:
+    # Must be set before model construction (static module attribute).
+    config.model.bev_mapper.streetview_encoder.point_tile_eval = (
+        point_tile_eval)
   config.dtype_str = 'bfloat16'
   config.batch_size = batch_size
 
@@ -91,11 +95,11 @@ def build_config(batch_size: int):
   return config
 
 
-def build(batch_size: int):
+def build(batch_size: int, point_tile_eval: int = 0):
   from snap_tpu.data import loader as data_loader
   from snap_tpu.models import bev_localizer
 
-  config = build_config(batch_size)
+  config = build_config(batch_size, point_tile_eval)
   dataset = data_loader.get_dataset(
       batch_size=batch_size,
       eval_batch_size=batch_size,
@@ -128,11 +132,7 @@ def time_fn(fn, *args, iters: int = NUM_ITERS) -> float:
 
 def bench_eval():
   """End-to-end localization + map construction at eval scale."""
-  config, model, batch, _ = build(EVAL_BATCH)
-  config.model.bev_mapper.streetview_encoder.point_tile_eval = POINT_TILE_EVAL
-  from snap_tpu.models import bev_localizer
-  model = bev_localizer.BEVLocalizerModel(
-      config.model, model.dataset_meta_data, jnp.bfloat16)
+  _, model, batch, _ = build(EVAL_BATCH, point_tile_eval=POINT_TILE_EVAL)
   rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1)}
   variables = jax.jit(
       lambda b: model.flax_model.init(rngs, b, train=False))(batch)
@@ -240,9 +240,15 @@ def _bench_train_step_subprocess():
   except subprocess.TimeoutExpired:
     print('# train-step bench failed: timeout')
     return None, None
-  for line in proc.stdout.splitlines():
+  # Parse the LAST json-looking stdout line (runtime chatter may also start
+  # with '{'); a parse failure falls through to the failure report rather
+  # than aborting the eval headline.
+  for line in reversed(proc.stdout.splitlines()):
     if line.startswith('{'):
-      d = json.loads(line)
+      try:
+        d = json.loads(line)
+      except json.JSONDecodeError:
+        continue
       return d.get('train_step_sec'), d.get('train_hbm_gb')
   tail = (proc.stderr or proc.stdout or '').strip().splitlines()[-3:]
   print(f'# train-step bench failed (rc={proc.returncode}): {" | ".join(tail)}')

@@ -41,7 +41,8 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     config.model.num_rotations = int(args['num_rotations'])
   if args['refinement_stages']:
     # Dense-refinement fan override, e.g. '5x0.25' (one ±5° fan at 0.25°,
-    # the round-2 behavior) or '11x1+1.25x0.125' (the re-centered default).
+    # the default) or '11x1+1.25x0.125' (re-centered two-stage; measured
+    # recall-neutral at ~12% eval cost — rotation_ablation.json).
     config.model.dense_refinement_stages = tuple(
         tuple(float(v) for v in stage.split('x'))
         for stage in str(args['refinement_stages']).split('+')

@@ -351,11 +351,13 @@ def dense_refinement(
 
   ``stages`` runs multiple (range_deg, delta_deg) fans, each re-centered on
   the previous best angle *and* translation — e.g. ((11, 1), (1.25, 0.125))
-  first recovers a wrong coarse rotation bin (±2 bins at 64 rotations), then
-  resolves the angle to 1/8°. A single ±5° fan cannot reach an adjacent-bin
-  error, which left rotation recall far behind position recall (round-2
-  verdict weak #2). When ``stages`` is None, a single
-  (range_r_deg, delta_r_deg) fan reproduces the round-2 behavior.
+  first reaches a wrong coarse rotation bin (±2 bins at 64 rotations), then
+  resolves the angle to 1/8°. Measured on a trained checkpoint
+  (results/run_small/rotation_ablation.json) the wider schedule is
+  recall-neutral — rotation outliers are wrong-mode score failures, not
+  adjacent-bin errors — so the default is a single ±5° fan (the
+  reference's refinement budget). When ``stages`` is None, a single
+  (range_r_deg, delta_r_deg) fan is used.
 
   Returns the refined ``map_t_query`` and the last stage's
   [R_f, 2P+1, 2P+1] score volume.

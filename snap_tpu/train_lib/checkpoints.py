@@ -51,22 +51,6 @@ def latest_step(workdir: str | pathlib.Path) -> Optional[int]:
     return mngr.latest_step()
 
 
-def restore_checkpoint(
-    workdir: str | pathlib.Path,
-    state: Any,
-    step: Optional[int] = None,
-) -> tuple[Any, int]:
-  """Restore into the structure of ``state``; returns (state, start_step)."""
-  with _manager(workdir) as mngr:
-    step = step if step is not None else mngr.latest_step()
-    if step is None:
-      return state, 0
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
-    restored = mngr.restore(step, args=ocp.args.StandardRestore(abstract))
-    logging.info('Restored checkpoint at step %d from %s.', step, workdir)
-    return restored, int(step)
-
-
 def restore_checkpoint_placed(
     workdir: str | pathlib.Path,
     abstract_state: Any,
@@ -76,11 +60,11 @@ def restore_checkpoint_placed(
 
   ``abstract_state`` is a pytree of ``jax.ShapeDtypeStruct`` whose
   ``sharding`` fields carry the target placement: orbax materializes every
-  leaf straight into its final (possibly mesh-sharded) buffers. Unlike
-  ``restore_checkpoint`` (restore to default device, then ``device_put``
-  to the mesh), resume never holds init + restored + placed copies of the
-  state at once — the triple transient pushed the 15.75G-tight full-scale
-  per-chip-batch-2 train step into ResourceExhausted on resume.
+  leaf straight into its final (possibly mesh-sharded) buffers. Unlike a
+  restore-to-default-device-then-``device_put`` flow, resume never holds
+  init + restored + placed copies of the state at once — the triple
+  transient pushed the 15.75G-tight full-scale per-chip-batch-2 train
+  step into ResourceExhausted on resume.
   """
   with _manager(workdir) as mngr:
     step = step if step is not None else mngr.latest_step()

@@ -425,31 +425,17 @@ def _train(
             jnp.shape(x), jnp.result_type(x), sharding=s),
         host_state, state_shardings)
     del host_state, params, opt_state, model_state
-    restored, start_step = checkpoints.restore_checkpoint_placed(
+    placed, start_step = checkpoints.restore_checkpoint_placed(
         workdir, abstract, ckpt_step)
-    train_state = TrainState(
-        global_step=restored['global_step'],
-        params=restored['params'],
-        opt_state=restored['opt_state'],
-        model_state=restored['model_state'],
-        rng=restored['rng'],
-        tx=tx,
-        dynamic_scale=restored.get('dynamic_scale'),
-    )
-    del restored
   else:
-    train_state = TrainState(
-        global_step=mesh_lib.put_host_tree(host_state['global_step'], repl),
-        params=mesh_lib.put_host_tree(host_state['params'], param_shardings),
-        opt_state=mesh_lib.put_host_tree(host_state['opt_state'], repl),
-        model_state=mesh_lib.put_host_tree(host_state['model_state'], repl),
-        rng=mesh_lib.put_host_tree(host_state['rng'], repl),
-        tx=tx,
-        dynamic_scale=(
-            mesh_lib.put_host_tree(host_state['dynamic_scale'], repl)
-            if dynamic_scale is not None else None),
-    )
-    del host_state, params, model_state
+    placed = {
+        k: mesh_lib.put_host_tree(v, state_shardings[k])
+        for k, v in host_state.items()
+    }
+    del host_state, params, opt_state, model_state
+  train_state = TrainState(
+      tx=tx, dynamic_scale=placed.pop('dynamic_scale', None), **placed)
+  del placed
 
   train_step_jit = _under_mesh(jax.jit(
       functools.partial(

@@ -34,7 +34,11 @@ import numpy as np
 sys.path.insert(0, '.')
 
 VARIANTS = {
-    'fan5': dict(num_rotations=0, refinement_stages=''),
+    # Stages pinned explicitly: '' would inherit the *workdir's recorded*
+    # stages (evaluator merge: experiment config > library default), which
+    # for runs launched under the old two-stage default would mislabel the
+    # variant AND overwrite the headline dump with a non-single-fan run.
+    'fan5': dict(num_rotations=0, refinement_stages='5x0.25'),
     'two_stage': dict(
         num_rotations=0, refinement_stages='11x1+1.25x0.125'),
     'rot128': dict(num_rotations=128, refinement_stages=''),
