@@ -32,8 +32,18 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
       modalities='streetview+aerial',
       pose_backend='ransac',
       scale='full',
+      # Path to a big_vision-format BiT .npz: warm-starts every ResNet
+      # trunk, matching the reference's pretrained ramp
+      # (snap/models/resnet.py:223-233). Empty = from scratch.
+      pretrained_resnet='',
+      # bev_net=1 inserts the residual conv stage over the fused plane
+      # (beyond-reference: upstream declared the slot but raised
+      # NotImplementedError, snap/models/bev_mapper.py:141-142).
+      bev_net=0,
   )
   image_encoder = defaults.resnet(args['image_encoder'])
+  if args['pretrained_resnet']:
+    image_encoder.pretrained_path = str(args['pretrained_resnet'])
 
   config.model.pose_backend = args['pose_backend']
   if args['pose_backend'] == 'exhaustive':
@@ -43,6 +53,9 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
 
   map_modalities = args['modalities'].split('+')
   config.model.bev_mapper = defaults.bev_mapper(map_modalities)
+  if int(args['bev_net']):
+    config.model.bev_mapper.bev_net = config_dict.ConfigDict(
+        dict(num_units=2, checkpoint_units=True))
 
   if defaults.MapModalities.STREETVIEW in map_modalities:
     config.model.bev_mapper.streetview_encoder.image_encoder.encoder = (

@@ -40,6 +40,22 @@ def test_aerial_only_gets_query_mapper():
   assert config.model.bev_mapper_query.streetview_encoder is not None
 
 
+def test_train_localization_recipe_args():
+  """pretrained_resnet warm-start + bev_net opt-in (reference ramp:
+  snap/models/resnet.py:223-233; declared-only slot:
+  snap/models/bev_mapper.py:141-142)."""
+  config = train_localization.get_config(
+      'scale=small,bev_net=1,pretrained_resnet=/tmp/bit.npz')
+  enc = config.model.bev_mapper.streetview_encoder.image_encoder.encoder
+  assert enc.pretrained_path == '/tmp/bit.npz'
+  assert config.model.bev_mapper.bev_net.num_units == 2
+  # Defaults: from scratch, no bev_net.
+  config = train_localization.get_config('scale=small')
+  assert config.model.bev_mapper.bev_net is None
+  enc = config.model.bev_mapper.streetview_encoder.image_encoder.encoder
+  assert enc.pretrained_path is None
+
+
 def test_lr_field_references_propagate():
   config = train_localization.get_config()
   assert config.lr_configs.start_decay_step == config.num_training_steps // 2
