@@ -12,7 +12,13 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   """Return the config. Args DSL: ``evaluation_size=256,batch_size=8``."""
   args = defaults.parse_argument_string(
       args_str, evaluation_size=4096, batch_size=4, tag='',
-      num_rotations=0, refinement_stages='')
+      num_rotations=0, refinement_stages='',
+      # Eval-side lift tiling: at the full reference scale batch 4 needs
+      # point_tile_eval=288000 to fit one v5e chip's HBM (6.91G tiled vs a
+      # 15.79G compile-time OOM untiled; docs/PERFORMANCE.md). Opt-in
+      # because merging into a None streetview_encoder (aerial-only runs)
+      # would wrongly materialize the modality.
+      point_tile_eval=0)
   config = config_dict.create(
       workdir=config_dict.placeholder(str),
       checkpoint_step=config_dict.placeholder(int),
@@ -36,6 +42,11 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   config.batch_size = int(args['batch_size'])
   config.data.loader.evaluation_size = int(args['evaluation_size'])
   config.tag = str(args['tag'])
+  if int(args['point_tile_eval']):
+    with config.unlocked():
+      config.model.bev_mapper = config_dict.create(
+          streetview_encoder=config_dict.create(
+              point_tile_eval=int(args['point_tile_eval'])))
   if int(args['num_rotations']):
     # Dense-backend override: finer coarse rotation bins at eval time.
     config.model.num_rotations = int(args['num_rotations'])

@@ -41,12 +41,9 @@ def config_update(self: config_dict.ConfigDict, other: config_dict.ConfigDict):
   for key, value in other.iteritems(**iteritems_kwargs):
     if key not in self or value is None:
       self[key] = value
-    elif isinstance(value_self := self._fields[key], config_dict.ConfigDict):  # pylint: disable=protected-access
-      if isinstance(value, config_dict.ConfigDict):
-        config_update(self[key], value)
-      else:
-        self[key] = value
-    elif isinstance(value_self, config_dict.FieldReference) and isinstance(
+      continue
+    value_self = self._fields[key]  # pylint: disable=protected-access
+    if isinstance(value_self, config_dict.FieldReference) and isinstance(
         value, config_dict.FieldReference
     ):
       if value.get() is not None:
@@ -57,6 +54,15 @@ def config_update(self: config_dict.ConfigDict, other: config_dict.ConfigDict):
               f' key {key}: mismatched types ({type_} vs {value.get_type()})'
           )
       self[key] = value
+    elif isinstance(self[key], config_dict.ConfigDict) and isinstance(
+        value, config_dict.ConfigDict
+    ):
+      # self[key] dereferences FieldReferences: a subtree declared as a
+      # ConfigDict *placeholder* (e.g. model.bev_mapper) and later assigned
+      # must be recursively updated, not wholesale-replaced — otherwise a
+      # partial eval-config override (one nested field) silently drops
+      # every sibling field of the experiment's subtree.
+      config_update(self[key], value)
     else:
       self[key] = value
 

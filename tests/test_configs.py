@@ -75,6 +75,21 @@ def test_eval_localization_args_dsl():
   assert 'dense_refinement_stages' not in eval_localization.get_config().model
 
 
+def test_eval_point_tile_eval_merges_into_experiment_model():
+  """point_tile_eval=N reaches the experiment's streetview encoder through
+  the evaluator's 3-level merge without clobbering its other fields."""
+  from snap_tpu.utils import configs as config_utils
+
+  eval_config = eval_localization.get_config('point_tile_eval=288000')
+  exp = train_localization.get_config('scale=small')
+  merged = config_utils.configs_merge(exp.model, eval_config.model)
+  sv = merged.bev_mapper.streetview_encoder
+  assert sv.point_tile_eval == 288000
+  assert sv.image_encoder is not None  # untouched sibling fields survive
+  # Default: no override key at all.
+  assert 'bev_mapper' not in eval_localization.get_config().model
+
+
 def test_parse_argument_string():
   args = defaults.parse_argument_string('image_encoder=R101')
   assert args == {'image_encoder': 'R101', 'modalities': 'streetview+aerial',
