@@ -267,7 +267,34 @@ def main():
   # Train first: the parent's jax backend initializes lazily, so the chip
   # is exclusively the subprocess's until it exits; then eval runs here.
   train_step_sec, train_hbm_gb = _bench_train_step_subprocess()
-  queries_per_sec, maps_per_sec = bench_eval()
+
+  # Watchdog: a dead device tunnel makes jax calls hang forever (observed
+  # 2026-08-17: a ~5h tunnel outage where even a 256x256 matmul blocked
+  # indefinitely and ignored SIGTERM). Emit an explicit, parseable error
+  # line rather than hanging the capture.
+  import signal
+
+  def _alarm(signum, frame):
+    raise TimeoutError('eval bench exceeded its time budget')
+
+  signal.signal(signal.SIGALRM, _alarm)
+  signal.alarm(3000)
+  try:
+    queries_per_sec, maps_per_sec = bench_eval()
+  except Exception as e:  # pylint: disable=broad-except
+    out = {
+        'metric': 'pose_queries_per_sec_per_chip',
+        'value': 0.0,
+        'unit': 'poses/s',
+        'vs_baseline': 0.0,
+        'error': f'eval bench failed: {type(e).__name__}: {e}'[:300],
+    }
+    if train_step_sec is not None:
+      out['train_step_sec_full_scale'] = round(train_step_sec, 3)
+    print(json.dumps(out))
+    return
+  finally:
+    signal.alarm(0)
 
   pose_hypotheses_per_sec = queries_per_sec * POSES_PER_QUERY
   out = {
