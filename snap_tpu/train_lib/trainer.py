@@ -590,10 +590,15 @@ def _train(
     if config.checkpoint and (
         (step % checkpoint_steps == 0) or (step == total_steps)):
       chrono.pause()
-      if lead_host:
-        checkpoints.save_checkpoint(
-            workdir, jax.device_get(state_to_ckpt(train_state)), step,
-            max_to_keep=config.get('max_checkpoints_to_keep') or 10)
+      # Collective on every process: orbax's CheckpointManager construction
+      # and save are process-synchronized (sync_global_processes), so a
+      # lead-host-only save deadlocks multi-process runs. Saving the global
+      # device arrays lets each process write its addressable shards (and
+      # works for TP-sharded params, which a host device_get could not
+      # gather on any single process).
+      checkpoints.save_checkpoint(
+          workdir, state_to_ckpt(train_state), step,
+          max_to_keep=config.get('max_checkpoints_to_keep') or 10)
       chrono.resume()
 
   if jax.process_count() > 1:

@@ -109,8 +109,36 @@ ref_fn = jax.jit(lambda i: device_synthetic.make_example(
     spec, data_types.DataMode.PAIR_SCENE_VIEW, seed, i)['overlap'])
 expected = [float(ref_fn(jnp.asarray(i))) for i in range(GLOBAL_BATCH)]
 np.testing.assert_allclose(ov_global, expected, rtol=1e-5)
+
+# Distributed checkpoint roundtrip, the trainer's flow: save is collective
+# (every process calls it with the global device arrays — orbax syncs
+# processes inside CheckpointManager; a lead-host-only save deadlocks),
+# then both processes restore straight into the distributed placement via
+# restore_checkpoint_placed (the trainer's resume path) and take a second
+# step from the restored state.
+from snap_tpu.train_lib import checkpoints
+ckptdir = sys.argv[3]
+ckpt = trainer.state_to_ckpt(state)
+checkpoints.save_checkpoint(ckptdir, ckpt, 1)
+abstract = jax.tree_util.tree_map(
+    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+    ckpt)
+restored, rstep = checkpoints.restore_checkpoint_placed(ckptdir, abstract)
+assert rstep == 1, rstep
+for a, b in zip(jax.tree_util.tree_leaves(ckpt),
+                jax.tree_util.tree_leaves(restored)):
+    assert a.sharding == b.sharding, (a.sharding, b.sharding)
+state2 = trainer.TrainState(tx=tx, **restored)
+batch2 = next(ds.train_iter)
+batch2.pop('_host', None)
+state2, m2, _ = step_fn(state2, batch2)
+s2, c2 = m2['loss/total']
+loss2 = float(jax.device_get(s2)) / float(jax.device_get(c2))
+assert np.isfinite(loss2), loss2
+assert int(jax.device_get(state2.global_step)) == 2
+
 print(f'RESULT pid={pid} loss={loss:.6f} img_mean={img_mean:.6f} '
-      f'devgen_ok=1', flush=True)
+      f'devgen_ok=1 resume_loss={loss2:.6f}', flush=True)
 """
 
 
@@ -133,7 +161,8 @@ def test_two_process_cpu_training(tmp_path: pathlib.Path):
 
   procs = [
       subprocess.Popen(
-          [sys.executable, str(script), str(port), str(pid)],
+          [sys.executable, str(script), str(port), str(pid),
+           str(tmp_path / 'ckpt')],
           stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
           env=env, cwd=repo)
       for pid in range(2)
