@@ -29,6 +29,11 @@ from __future__ import annotations
 
 import functools
 import json
+import os
+import pathlib
+import signal
+import subprocess
+import sys
 import time
 
 import jax
@@ -221,6 +226,124 @@ def bench_train_step():
   return times[len(times) // 2], hbm_gb
 
 
+_REPO = pathlib.Path(__file__).resolve().parent
+# Newest successful capture first; committed round-3 numbers as the floor.
+_FALLBACK_PATHS = (
+    _REPO / 'results' / 'BENCH_latest_local.json',
+    _REPO / 'results' / 'BENCH_round3_local.json',
+)
+
+_PREFLIGHT_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((512, 512), jnp.bfloat16);"
+    "(x @ x).block_until_ready();"
+    "print('ok', jax.devices()[0])"
+)
+
+
+def _load_fallback():
+  """Most recent committed local bench numbers, for failure artifacts."""
+  for p in _FALLBACK_PATHS:
+    try:
+      d = json.loads(p.read_text())
+      d['source'] = str(p.relative_to(_REPO))
+      return d
+    except (OSError, json.JSONDecodeError):
+      continue
+  return None
+
+
+def _save_latest_local(out: dict) -> None:
+  try:
+    p = _FALLBACK_PATHS[0]
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps({**out, 'captured_unix': int(time.time())}))
+  except OSError:
+    pass
+
+
+def preflight_backend(timeout: float = 90.0, retries: int = 2,
+                      retry_wait: float = 45.0):
+  """Cheap backend check: a tiny jitted matmul in a bounded subprocess.
+
+  A dead device tunnel makes jax calls hang forever and ignore SIGTERM
+  (observed 2026-08-17/18) — run the probe in its own process group and
+  SIGKILL the group on timeout, so a dead backend costs seconds, not the
+  whole capture budget (round 3's BENCH artifact was rc=124 with nothing
+  parseable). Returns None when healthy, else a short error string.
+  """
+  err = 'preflight never ran'
+  for attempt in range(retries):
+    if attempt:
+      time.sleep(retry_wait)
+    proc = subprocess.Popen(
+        [sys.executable, '-c', _PREFLIGHT_SRC],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        start_new_session=True)
+    try:
+      out, _ = proc.communicate(timeout=timeout)
+      if proc.returncode == 0:
+        return None
+      tail = out.strip().splitlines()[-2:]
+      err = f'preflight rc={proc.returncode}: {" | ".join(tail)}'
+    except subprocess.TimeoutExpired:
+      try:
+        os.killpg(proc.pid, signal.SIGKILL)
+      except ProcessLookupError:
+        pass
+      proc.wait()
+      err = f'preflight hang >{timeout:.0f}s (tunnel unresponsive)'
+  return err
+
+
+def _release_chip_from_supervisor(wait: float = 120.0) -> None:
+  """Ask a running training supervisor (tools/run_supervisor.py) to stop.
+
+  The bench and the supervised single-chip training run share the one TPU;
+  a 15.75G-HBM train step plus the bench cannot coexist. The supervisor
+  watches for <workdir>/SUPERVISOR_STOP every 20 s and SIGKILLs its child.
+  """
+  workdirs = _REPO / 'workdirs'
+  if not workdirs.is_dir():
+    return
+  recent = time.time() - 1800
+  active = [p for p in workdirs.glob('*.log') if p.stat().st_mtime > recent]
+  if not active:
+    return
+  stopped = []
+  for d in workdirs.iterdir():
+    if d.is_dir() and (d / 'checkpoints').is_dir():
+      try:
+        (d / 'SUPERVISOR_STOP').touch()
+        stopped.append(d.name)
+      except OSError:
+        pass
+  if stopped:
+    print(f'# waiting {wait:.0f}s for supervised runs to release the chip: '
+          f'{stopped}', file=sys.stderr)
+    deadline = time.time() + wait
+    while time.time() < deadline:
+      time.sleep(10)
+      if not any(p.stat().st_mtime > time.time() - 15
+                 for p in workdirs.glob('*.log')):
+        break
+
+
+def _error_output(stage: str, err: str, extras: dict | None = None) -> dict:
+  out = {
+      'metric': 'pose_queries_per_sec_per_chip',
+      'value': 0.0,
+      'unit': 'poses/s',
+      'vs_baseline': 0.0,
+      'error': f'{stage}: {err}'[:300],
+  }
+  if extras:
+    out.update(extras)
+  if (fb := _load_fallback()) is not None:
+    out['fallback_local'] = fb
+  return out
+
+
 def _bench_train_step_subprocess():
   """Run bench_train_step in a fresh process and parse its result.
 
@@ -256,24 +379,41 @@ def _bench_train_step_subprocess():
 
 
 def main():
-  import sys
-
   if '--train-only' in sys.argv:
     train_step_sec, train_hbm_gb = bench_train_step()
     print(json.dumps(
         {'train_step_sec': train_step_sec, 'train_hbm_gb': train_hbm_gb}))
     return
 
+  # The one chip may be held by a supervised training run — release it, then
+  # verify the backend is actually alive BEFORE spending the capture budget.
+  # A dead tunnel now yields a parseable error artifact (with the last local
+  # numbers attached) in ~3 minutes instead of an rc=124 timeout after 80.
+  _release_chip_from_supervisor()
+  if (err := preflight_backend()) is not None:
+    print(json.dumps(_error_output('backend preflight failed', err)))
+    return
+
   # Train first: the parent's jax backend initializes lazily, so the chip
   # is exclusively the subprocess's until it exits; then eval runs here.
   train_step_sec, train_hbm_gb = _bench_train_step_subprocess()
+
+  train_extras = {}
+  if train_step_sec is not None:
+    train_extras['train_step_sec_full_scale'] = round(train_step_sec, 3)
+  if train_step_sec is None:
+    # The train section burned its budget or died; recheck the backend so a
+    # mid-capture tunnel death fails fast instead of also burning the eval
+    # alarm budget.
+    if (err := preflight_backend(retries=1)) is not None:
+      print(json.dumps(
+          _error_output('backend died during train bench', err)))
+      return
 
   # Watchdog: a dead device tunnel makes jax calls hang forever (observed
   # 2026-08-17: a ~5h tunnel outage where even a 256x256 matmul blocked
   # indefinitely and ignored SIGTERM). Emit an explicit, parseable error
   # line rather than hanging the capture.
-  import signal
-
   def _alarm(signum, frame):
     raise TimeoutError('eval bench exceeded its time budget')
 
@@ -282,16 +422,8 @@ def main():
   try:
     queries_per_sec, maps_per_sec = bench_eval()
   except Exception as e:  # pylint: disable=broad-except
-    out = {
-        'metric': 'pose_queries_per_sec_per_chip',
-        'value': 0.0,
-        'unit': 'poses/s',
-        'vs_baseline': 0.0,
-        'error': f'eval bench failed: {type(e).__name__}: {e}'[:300],
-    }
-    if train_step_sec is not None:
-      out['train_step_sec_full_scale'] = round(train_step_sec, 3)
-    print(json.dumps(out))
+    print(json.dumps(_error_output(
+        'eval bench failed', f'{type(e).__name__}: {e}', train_extras)))
     return
   finally:
     signal.alarm(0)
@@ -321,6 +453,7 @@ def main():
                          'chips x this per-chip shard')
     if train_hbm_gb is not None:
       out['train_step_hbm_gb'] = train_hbm_gb
+  _save_latest_local(out)
   print(json.dumps(out))
 
 

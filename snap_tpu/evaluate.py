@@ -24,6 +24,9 @@ FLAGS = flags.FLAGS
 flags.DEFINE_string('config', None, 'Path to the eval config file.')
 flags.DEFINE_string('workdir', None, 'Experiment workdir to evaluate.')
 flags.DEFINE_string('split', None, 'Override the city split.')
+flags.DEFINE_integer(
+    'checkpoint_step', None,
+    'Evaluate this checkpoint step (default: latest in the workdir).')
 flags.mark_flag_as_required('config')
 
 
@@ -34,6 +37,8 @@ def main(argv):
     config.workdir = FLAGS.workdir
   if FLAGS.split:
     config.data.split = FLAGS.split
+  if FLAGS.checkpoint_step is not None:
+    config.checkpoint_step = FLAGS.checkpoint_step
   if config.workdir is None:
     raise ValueError('--workdir (or config.workdir) is required.')
   evaluator.run(config)

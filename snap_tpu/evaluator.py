@@ -264,21 +264,36 @@ def run_for_location(
     # The cache is keyed by location+tag only; guard against silently
     # returning a dump computed under a different protocol (e.g. a 256-
     # example quick eval masquerading as the full 4096-example run, or a
-    # different checkpoint step).
+    # different checkpoint step). A dump without a recorded step cannot
+    # satisfy an explicit checkpoint_step request.
     requested_size = eval_config.data.loader.get('evaluation_size')
     dumped_size = len(next(iter(results.values())))
     size_ok = requested_size is None or dumped_size == requested_size
     dumped_step = dump_config.get('eval_checkpoint_step')
-    step_ok = (eval_config.checkpoint_step is None or dumped_step is None
+    step_ok = (eval_config.checkpoint_step is None
                or dumped_step == eval_config.checkpoint_step)
     if size_ok and step_ok:
       logging.info('Loading cached dump from %s.', eval_path)
       return results, dump_config
+    # Never clobber the existing dump with a different-protocol rerun (a
+    # cheap quick eval would silently destroy an expensive full-protocol
+    # dump): divert this run to a protocol-qualified path.
+    qualified = (f'{location}{eval_config.tag}'
+                 f'-n{requested_size}-s{eval_config.checkpoint_step}')
     logging.warning(
         'Cached dump at %s does not match the requested protocol '
         '(%d examples dumped vs %s requested; checkpoint step %s vs %s) — '
-        'recomputing.', eval_path, dumped_size, requested_size,
-        dumped_step, eval_config.checkpoint_step)
+        'recomputing into %s (set overwrite=True to replace the dump).',
+        eval_path, dumped_size, requested_size,
+        dumped_step, eval_config.checkpoint_step, qualified)
+    eval_path = workdir / 'evaluation' / qualified
+    if (eval_path / 'results.npz').exists() and (
+        eval_config.checkpoint_step is not None):
+      # The qualified name pins size+step, so this cache needs no recheck
+      # (a step=None qualified dump tracks 'latest', which moves — recompute).
+      results, dump_config = read_eval_dump(eval_path)
+      logging.info('Loading cached dump from %s.', eval_path)
+      return results, dump_config
   if fail_if_missing:
     raise ValueError(f'Missing dump for {workdir} at {eval_path}.')
   model, params, model_state, dataset, config, mesh = get_model_and_dataset(

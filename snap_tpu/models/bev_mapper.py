@@ -310,6 +310,13 @@ class BEVMapper(nn.Module):
       raise ValueError('No map encoder given.')
     pred['bev_features'] = plane = self.fuse_neural_maps(feature_planes, train)
     if self.bev_net is not None:
+      if self.config.bev_net.get('nmid') is None:
+        # ResidualUnit(nmid=None) widens to 4*(C//4): a non-multiple-of-4
+        # plane would silently change width and replace the identity
+        # residual with a projection, defeating the same-resolution intent.
+        assert plane.features.shape[-1] % 4 == 0, (
+            f'bev_net needs a fused plane width divisible by 4 (got '
+            f'{plane.features.shape[-1]}); pass bev_net.nmid explicitly.')
       f_net, _ = self.bev_net(plane.features)
       # Convs smear into the invalid band; re-mask so downstream consumers
       # (matching, confidence) keep the validity contract.

@@ -39,6 +39,11 @@ FLAGS = flags.FLAGS
 flags.DEFINE_string('config', None, 'Path to config file, optionally with '
                     '":<args>" suffix (e.g. cfg.py:image_encoder=R50).')
 flags.DEFINE_string('workdir', None, 'Work/checkpoint directory.')
+flags.DEFINE_integer(
+    'stop_at_step', None,
+    'Stop (with a final checkpoint/summary) at this step, before '
+    'num_training_steps, without altering the lr schedule. Lets a '
+    'supervisor train in resumable chunks on a shared chip.')
 flags.mark_flag_as_required('config')
 flags.mark_flag_as_required('workdir')
 
@@ -105,6 +110,7 @@ def main(argv):
       workdir=workdir,
       writer=writer,
       mesh=mesh,
+      stop_at_step=FLAGS.stop_at_step,
   )
 
 

@@ -332,6 +332,20 @@ def train(
   return _train(mesh=mesh, **kwargs)
 
 
+def _resolve_stop_step(config: ml_collections.ConfigDict,
+                       stop_at_step: Optional[int]) -> int:
+  """Early-stop boundary for supervised chunked runs.
+
+  ``stop_at_step`` ends the loop (with a final checkpoint/summary/eval)
+  before ``num_training_steps`` WITHOUT touching the lr schedule, which is
+  sized by ``num_training_steps`` — overriding the step count itself would
+  silently reshape the cosine decay (train_localization.py:119-121).
+  """
+  total = int(config.num_training_steps)
+  stop = stop_at_step or config.get('stop_at_step') or total
+  return min(total, int(stop))
+
+
 def _under_mesh(fn: Callable, mesh: jax.sharding.Mesh) -> Callable:
   """Trace/execute ``fn`` with ``mesh`` as JAX's ambient mesh.
 
@@ -357,6 +371,7 @@ def _train(
     workdir: str,
     writer: Optional[Any] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    stop_at_step: Optional[int] = None,
 ) -> Tuple[TrainState, Dict[str, float], Dict[str, float]]:
   lead_host = jax.process_index() == 0
   dtype = getattr(jnp, config.dtype_str)
@@ -390,7 +405,11 @@ def _train(
   # without cpu) has no such backend — fall back to the default device.
   try:
     opt_state = jax.jit(tx.init, backend='cpu')(params)
-  except RuntimeError:
+  except RuntimeError as e:
+    # Only a missing 'cpu' backend falls through to the accelerator; any
+    # other RuntimeError (OOM, XLA failure) must surface.
+    if 'Unknown backend' not in str(e):
+      raise
     opt_state = jax.jit(tx.init)(params)
   host_state = dict(
       global_step=jnp.zeros((), jnp.int32),
@@ -457,6 +476,7 @@ def _train(
   ), mesh)
 
   total_steps = config.num_training_steps
+  stop_step = _resolve_stop_step(config, stop_at_step)
   log_eval_steps = config.get('log_eval_steps') or 1000
   checkpoint_steps = config.get('checkpoint_steps') or log_eval_steps
   log_summary_steps = config.get('log_summary_steps') or log_eval_steps
@@ -476,7 +496,7 @@ def _train(
   num_profile_steps = 5
   profile_start = -1
   if config.get('xprof', True) and (
-      start_step + 3 + num_profile_steps <= total_steps):
+      start_step + 3 + num_profile_steps <= stop_step):
     profile_start = start_step + 3
 
   # Metrics accumulate ON DEVICE between summaries (reference:
@@ -505,7 +525,7 @@ def _train(
 
   acc = None
   logging.info('Starting training loop at step %d.', start_step + 1)
-  for step in range(start_step + 1, total_steps + 1):
+  for step in range(start_step + 1, stop_step + 1):
     if lead_host and step == profile_start:
       jax.profiler.start_trace(workdir)
     with jax.profiler.StepTraceAnnotation('train', step_num=step):
@@ -527,7 +547,7 @@ def _train(
       jax.block_until_ready(train_state.params)
       jax.profiler.stop_trace()
 
-    if (step % log_summary_steps == 0) or (step == total_steps):
+    if (step % log_summary_steps == 0) or (step == stop_step):
       # Drain the dispatch queue before stopping the clock: steps are
       # dispatched asynchronously, so queued device work must count as
       # active time or steps/sec reports the dispatch rate, not compute.
@@ -570,7 +590,7 @@ def _train(
       acc = None
       chrono.resume()
 
-    if (step % log_eval_steps == 0) or (step == total_steps):
+    if (step % log_eval_steps == 0) or (step == stop_step):
       chrono.pause()
       eval_metrics = []
       for i in range(steps_per_eval):
@@ -588,7 +608,7 @@ def _train(
       chrono.resume()
 
     if config.checkpoint and (
-        (step % checkpoint_steps == 0) or (step == total_steps)):
+        (step % checkpoint_steps == 0) or (step == stop_step)):
       chrono.pause()
       # Collective on every process: orbax's CheckpointManager construction
       # and save are process-synchronized (sync_global_processes), so a

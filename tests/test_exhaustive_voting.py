@@ -260,7 +260,7 @@ def test_two_stage_refinement_recovers_adjacent_bin_error():
   best = np.unravel_index(np.argmax(np.asarray(volume)), volume.shape)
   # Simulate the coarse argmax landing one bin LOW of the best bin: the
   # total angular error (8 + 22.5 deg) exceeds any single narrow fan.
-  wrong = (int(best[0]) - 1 % num_rot, best[1], best[2])
+  wrong = ((int(best[0]) - 1) % num_rot, best[1], best[2])
   tfm, _ = pev.dense_refinement(
       plane_q, plane_m, jnp.asarray(wrong), grid, num_rot, np.zeros(2),
       stages=((34.0, 2.0), (2.5, 0.25), (0.3, 0.05)))
