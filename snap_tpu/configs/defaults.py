@@ -82,6 +82,12 @@ def base() -> config_dict.ConfigDict:
               optimizer='adam',
               weight_decay=0.0,
               freeze_params_reg_exp=config_dict.placeholder(str),
+              # False skips allocating optimizer state (Adam moments) for
+              # frozen subtrees — ~2x the frozen params' bytes back in HBM
+              # for head fine-tuning at R152x2 scale — at the cost of an
+              # opt-state checkpoint structure that differs from the
+              # unfrozen run's (resume stays self-consistent either way).
+              allocate_frozen_state=True,
           ),
           max_grad_norm=config_dict.placeholder(float),
           num_training_steps=config_dict.placeholder(int),

@@ -17,6 +17,8 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   config.model.occupancy_mlp.layers = (128, 256, 1)
 
   config.optimizer_configs.freeze_params_reg_exp = r'streetview_encoder/'
+  # The frozen encoder is most of the model: skip its Adam moments.
+  config.optimizer_configs.allocate_frozen_state = False
 
   cities = defaults.DATA_SPLITS_CITIES['train']
   locations = ','.join(f'{c}-synthetic' for c in cities)

@@ -25,6 +25,9 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   if config.model.bev_mapper.streetview_encoder is not None:
     config.model.bev_mapper.streetview_encoder.max_view_distance = 20.0
   config.optimizer_configs.freeze_params_reg_exp = r'bev_mapper/'
+  # The whole mapper is frozen: skip its Adam moments (~2x mapper bytes of
+  # HBM back at R152x2 scale; the head checkpoint stays self-consistent).
+  config.optimizer_configs.allocate_frozen_state = False
 
   config.data = defaults.streetview_singlescene()
   config.data.update(

@@ -164,11 +164,14 @@ class _PrefetchIterator:
     try:
       while True:
         with self._lock:
+          # Backpressure: don't run ahead of the consumer by > buffer_size.
+          # Every state change (emit, build-complete, error) notifies the
+          # shared condition, so these waits need no polling timeout.
+          while (self._error is None and self._next_to_build
+                 - self._next_to_emit >= self._buffer_size):
+            self._ready.wait()
           if self._error is not None:
             return
-          # Backpressure: don't run ahead of the consumer by > buffer_size.
-          while self._next_to_build - self._next_to_emit >= self._buffer_size:
-            self._ready.wait(timeout=0.1)
           i = self._next_to_build
           self._next_to_build += 1
         if self._prebuilt:
@@ -194,7 +197,7 @@ class _PrefetchIterator:
       while self._next_to_emit not in self._results:
         if self._error is not None:
           raise RuntimeError('Data pipeline worker failed') from self._error
-        self._ready.wait(timeout=1.0)
+        self._ready.wait()
       device_batch, host = self._results.pop(self._next_to_emit)
       self._next_to_emit += 1
       self._ready.notify_all()

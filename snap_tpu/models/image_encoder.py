@@ -1,15 +1,18 @@
-"""Image encoder: ResNet trunk + FPN decoder -> multi-scale feature pyramid.
+"""Image backbone: CNN trunk + top-down feature pyramid.
 
-Reference behavior: snap/models/image_encoder.py. Input is padded to the
-largest stride, per-stage features are decoded coarse-to-fine with 1x1 skip
-convs and bilinear x2 upsampling, and outputs are cropped back to the input
-extent. Strides are static metadata carried next to the features.
+Capability parity with the reference's trunk->FPN wrapper
+(snap/models/image_encoder.py:42-144): multi-scale features with static
+stride metadata, input padded up to the coarsest stride and outputs cropped
+back. The decoder is expressed as two explicit passes (lateral heads, then
+a top-down accumulation) instead of one interleaved loop; the parameter
+tree it produces ('decoder/{i}_skip_norm', 'decoder/{i}_skip_conv' under an
+'encoder'/'decoder' split) is the checkpoint contract, pinned by
+tests/test_image_encoder.py::test_param_tree_pinned.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, List, Optional
+from typing import Any, Callable, List, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -32,8 +35,23 @@ def pad_to_multiple(images: Array, stride: int) -> Array:
   return jnp.pad(images, pad_width)
 
 
+def _upsample_to(coarse: Array, like: Array) -> Array:
+  """Bilinear x2 upsampling of `coarse` onto `like`'s spatial grid."""
+  target_hw = like.shape[-3:-1]
+  if tuple(target_hw) != (coarse.shape[-3] * 2, coarse.shape[-2] * 2):
+    raise ValueError(
+        f'Pyramid levels must be octaves: {coarse.shape} -> {like.shape}.')
+  new_shape = coarse.shape[:-3] + tuple(target_hw) + coarse.shape[-1:]
+  return jax.image.resize(coarse, new_shape, 'bilinear')
+
+
 class FPNDecoder(nn.Module):
-  """Feature-Pyramid-Network-like decoder (coarse-to-fine)."""
+  """Top-down pyramid decoder.
+
+  Each trunk level gets a lateral head (activation -> norm -> 1x1
+  projection to a shared width); the pyramid is then built coarse-to-fine
+  by adding each lateral to the x2-upsampled running output.
+  """
 
   output_dim: int
   num_levels: int
@@ -43,100 +61,96 @@ class FPNDecoder(nn.Module):
   bias_init: Callable[..., Any] = initializers.zeros
   dtype: jnp.dtype = jnp.float32
 
-  @nn.compact
-  def __call__(
-      self, input_features: List[Array], train: bool = False
-  ) -> List[Array]:
-    assert len(input_features) == self.num_levels
-    activation = getattr(nn, self.activation)
-    norm = None
-    if self.norm == 'bit_resnet':
-      norm = functools.partial(resnet.GroupNorm, dtype=self.dtype)
-    elif self.norm == 'batch_norm':
-      norm = functools.partial(
-          nn.BatchNorm,
-          use_running_average=not train,
-          axis=-1,
-          dtype=self.dtype,
-          param_dtype=jnp.float32,
-      )
-    elif self.norm is not None:
-      raise ValueError(self.norm)
-    skip_conv = functools.partial(
-        nn.Conv,
-        features=self.output_dim,
-        kernel_size=(1, 1),
-        use_bias=norm is None,
+  def _norm(self, name: str, train: bool) -> Callable[[Array], Array]:
+    match self.norm:
+      case None:
+        return lambda x: x
+      case 'bit_resnet':
+        return resnet.GroupNorm(dtype=self.dtype, name=name)
+      case 'batch_norm':
+        return nn.BatchNorm(
+            use_running_average=not train, axis=-1, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
+      case _:
+        raise ValueError(f'Unknown norm: {self.norm!r}')
+
+  def _lateral(self, level: int, f: Array, train: bool) -> Array:
+    f = getattr(nn, self.activation)(f)
+    f = self._norm(f'{level}_skip_norm', train)(f)
+    return nn.Conv(
+        self.output_dim, (1, 1),
+        use_bias=self.norm is None,
         kernel_init=self.kernel_init,
         bias_init=self.bias_init,
         dtype=self.dtype,
         param_dtype=jnp.float32,
-    )
+        name=f'{level}_skip_conv',
+    )(f)
 
-    out_features = []
-    f_prev = None
-    for level, f_skip in enumerate(input_features):
-      f = activation(f_skip)
-      if norm is not None:
-        f = norm(name=f'{level}_skip_norm')(f)
-      f = skip_conv(name=f'{level}_skip_conv')(f)
-      if f_prev is not None:
-        assert f.shape[-3] == f_prev.shape[-3] * 2, "Heights don't match."
-        assert f.shape[-2] == f_prev.shape[-2] * 2, "Widths don't match."
-        new_shape = f_prev.shape[:-3] + f.shape[-3:-1] + f_prev.shape[-1:]
-        f_prev = jax.image.resize(f_prev, new_shape, 'bilinear')
-        f = f + f_prev
-      f_prev = f
-      out_features.append(f)
-    return out_features
+  @nn.compact
+  def __call__(
+      self, trunk_features: List[Array], train: bool = False
+  ) -> List[Array]:
+    if len(trunk_features) != self.num_levels:
+      raise ValueError(
+          f'Expected {self.num_levels} levels, got {len(trunk_features)}.')
+    laterals = [
+        self._lateral(i, f, train) for i, f in enumerate(trunk_features)
+    ]
+    pyramid = laterals[:1]
+    for lateral in laterals[1:]:
+      pyramid.append(lateral + _upsample_to(pyramid[-1], like=lateral))
+    return pyramid
 
 
 class ImageEncoder(nn.Module):
-  """Trunk + FPN wrapper returning a FeatureImagePyramid."""
+  """Trunk + FPNDecoder, returning a FeatureImagePyramid with strides."""
 
   config: ml_collections.ConfigDict
   dtype: jnp.dtype = jnp.float32
 
-  def setup(self):
-    num_pyr_levels = self.config.num_pyr_levels
-    if self.config.encoder_name == 'resnet':
-      self.encoder = resnet.ResNetV2(self.config.encoder, self.dtype)
-      if num_pyr_levels is None:
-        num_pyr_levels = len(self.encoder.level_names)
-      # log2 of the stride of the coarsest pyramid level: the root block
-      # contributes 4x (2 octaves), each later stage doubles.
-      self.max_stride = (
-          (not self.config.encoder.skip_root_block) * 2 + num_pyr_levels - 1
-      )
-    else:
-      raise ValueError(self.config.encoder_name)
-    self.level_names = self.encoder.level_names[:num_pyr_levels][::-1]
-    self.decoder = FPNDecoder(
-        self.config.output_dim, num_pyr_levels, dtype=self.dtype
-    )
+  def _build_trunk(self) -> resnet.ResNetV2:
+    if self.config.encoder_name != 'resnet':
+      raise ValueError(f'Unknown trunk: {self.config.encoder_name!r}')
+    return resnet.ResNetV2(self.config.encoder, self.dtype, name='encoder')
 
+  @nn.compact
   def __call__(
       self, image: Array, train: bool = False
   ) -> types.FeatureImagePyramid:
+    trunk = self._build_trunk()
+    num_levels = self.config.num_pyr_levels or len(trunk.level_names)
+    # Total downsampling: the 7x7-s2 root block + its pool contribute two
+    # octaves (zero when replaced by the stride-1 raster stem), then one
+    # octave per stage past the first.
+    root_octaves = 0 if self.config.encoder.skip_root_block else 2
+    max_stride = 2 ** (root_octaves + num_levels - 1)
+
     image = image.astype(self.dtype)
-    input_shape = np.array(image.shape[-3:-1])
-    image_padded = pad_to_multiple(image, 2**self.max_stride)
-    padded_shape = np.array(image_padded.shape[-3:-1])
-    encoder_features = self.encoder(image_padded, train=train)
+    input_hw = np.array(image.shape[-3:-1])
+    padded = pad_to_multiple(image, max_stride)
+    padded_hw = np.array(padded.shape[-3:-1])
 
-    skip_features = []
-    for layer_name in self.level_names:
-      _, f = sorted(encoder_features[layer_name].items())[-1]
-      skip_features.append(f)
+    stage_outputs = trunk(padded, train=train)
+    # Deepest unit of each kept stage, coarsest level first (unit keys are
+    # zero-padded, so lexicographic max is the last unit).
+    skips = []
+    for stage_name in reversed(trunk.level_names[:num_levels]):
+      units = stage_outputs[stage_name]
+      skips.append(units[max(units)])
 
-    out_features = self.decoder(skip_features, train=train)
-    strides = [
-        tuple(padded_shape // np.array(f.shape[-3:-1])) for f in out_features
-    ]
-    out_features_crop = []
-    for s, f in zip(strides, out_features):
-      h, w = np.ceil(input_shape / np.array(s)).astype(int)
-      out_features_crop.append(f[..., :h, :w, :])
+    pyramid = FPNDecoder(
+        self.config.output_dim, num_levels, dtype=self.dtype, name='decoder'
+    )(skips, train=train)
+
+    # Strides are exact on the padded extent; crop the padding back off so
+    # each level covers ceil(input/stride) cells of the original image.
+    features: List[Array] = []
+    strides: List[Sequence[int]] = []
+    for f in pyramid:
+      stride = tuple(int(s) for s in padded_hw // np.array(f.shape[-3:-1]))
+      h, w = (-(-input_hw // np.array(stride))).astype(int)
+      features.append(f[..., :h, :w, :])
+      strides.append(stride)
     return types.FeatureImagePyramid(
-        features=out_features_crop, strides=tuple(strides)
-    )
+        features=features, strides=tuple(strides))

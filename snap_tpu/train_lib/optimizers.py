@@ -57,9 +57,20 @@ def get_optimizer(
   if freeze_regex:
     assert params is not None, 'params needed to build the freeze mask'
     frozen = make_freeze_mask(params, freeze_regex)
-    trainable = jax.tree_util.tree_map(lambda m: not m, frozen)
-    tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen))
-    # masked(set_to_zero) zeroes frozen updates; cheaper than multi_transform
-    # and keeps the optimizer state structure stable for checkpoints.
-    del trainable
+    if opt_cfg.get('allocate_frozen_state', True):
+      # Default: zero frozen updates after the full transform. The optimizer
+      # state keeps every leaf (Adam moments for frozen params too), so the
+      # checkpoint structure is identical to an unfrozen run's.
+      tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen))
+    else:
+      # Memory-lean fine-tuning: run the transform only over trainable
+      # leaves, so frozen subtrees never allocate moments (saves ~2x the
+      # frozen params' bytes — the whole bev_mapper during semantics
+      # fine-tuning). Gradient clipping then normalizes over trainable
+      # grads only, which is the more faithful clipping semantics anyway.
+      trainable = jax.tree_util.tree_map(lambda m: not m, frozen)
+      tx = optax.chain(
+          optax.masked(tx, trainable),
+          optax.masked(optax.set_to_zero(), frozen),
+      )
   return tx

@@ -71,6 +71,41 @@ def test_frozen_params_not_updated():
   assert float(jnp.abs(updates['free']['w']).sum()) > 0
 
 
+def _opt_state_array_bytes(state) -> int:
+  return sum(
+      x.size * x.dtype.itemsize
+      for x in jax.tree_util.tree_leaves(state)
+      if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating))
+
+
+def test_frozen_state_not_allocated_when_disabled():
+  """allocate_frozen_state=False: no Adam moments for frozen subtrees."""
+  config = defaults.base()
+  config.lr_configs.base_learning_rate = 1.0
+  config.lr_configs.factors = 'constant'
+  config.optimizer_configs.freeze_params_reg_exp = r'frozen/'
+  config.max_grad_norm = 1.0
+  lr_fn = lr_schedules.get_learning_rate_fn(config)
+  big = jnp.ones((64, 64))
+  params = {'frozen': {'w': big}, 'free': {'w': jnp.ones(3)}}
+
+  tx_fat = optimizers.get_optimizer(config, lr_fn, params=params)
+  config.optimizer_configs.allocate_frozen_state = False
+  tx_lean = optimizers.get_optimizer(config, lr_fn, params=params)
+
+  fat_bytes = _opt_state_array_bytes(tx_fat.init(params))
+  lean_bytes = _opt_state_array_bytes(tx_lean.init(params))
+  # Adam keeps 2 moments: the lean state must drop ~2x the frozen bytes.
+  assert fat_bytes - lean_bytes >= 2 * big.size * big.dtype.itemsize
+
+  # Semantics unchanged: frozen updates zero, trainable params still move.
+  grads = jax.tree_util.tree_map(jnp.ones_like, params)
+  state = tx_lean.init(params)
+  updates, _ = tx_lean.update(grads, state, params)
+  np.testing.assert_allclose(updates['frozen']['w'], 0.0)
+  assert float(jnp.abs(updates['free']['w']).sum()) > 0
+
+
 def test_mesh_construction():
   mesh = mesh_lib.make_mesh({'data': -1, 'model': 2})
   assert mesh.shape['model'] == 2
