@@ -50,7 +50,7 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
       )
   )
 
-  config.batch_size = 2
+  config.batch_size = 8  # divides the 8-virtual-device CPU test mesh
   config.num_training_steps = 4
   config.log_summary_steps = 2
   config.log_eval_steps = 4

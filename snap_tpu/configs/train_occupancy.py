@@ -6,15 +6,25 @@ from __future__ import annotations
 from ml_collections import config_dict
 
 from snap_tpu.configs import defaults
+from snap_tpu.utils import configs as config_utils
 
 
 def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
-  """Return the config."""
-  del args_str
+  """Return the config.
+
+  Args DSL (beyond the reference, snap/configs/train_occupancy.py:21-54):
+  ``pretrained_mapper=<workdir>`` freezes THAT experiment's trained
+  StreetViewEncoder (config taken verbatim so adopted params match);
+  ``scale=small`` is a short single-chip schedule at the run_small scene
+  scale.
+  """
   config = defaults.base()
   config.model_name = 'occupancy_net'
   config.model = defaults.occupancy_net()
   config.model.occupancy_mlp.layers = (128, 256, 1)
+
+  args = defaults.parse_argument_string(
+      args_str, scale='full', pretrained_mapper='')
 
   config.optimizer_configs.freeze_params_reg_exp = r'streetview_encoder/'
   # The frozen encoder is most of the model: skip its Adam moments.
@@ -35,11 +45,38 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
           num_views=20,
       )
   )
-  config.batch_size = 1
-  config.lr_configs.base_learning_rate = 5e-5
-  config.num_training_steps = 50_000
-  config.checkpoint_steps = 10_000
-  config.log_summary_steps = 1_000
-  config.log_eval_steps = 5_000
+
+  if args['pretrained_mapper']:
+    workdir = str(args['pretrained_mapper'])
+    pretrained = config_utils.config_load(workdir)
+    sv = config_dict.ConfigDict(
+        pretrained.model.bev_mapper.streetview_encoder)
+    with sv.unlocked():
+      sv.pretrained_path = workdir
+    config.model.streetview_encoder = sv
+    # Frozen features are only meaningful on the mapper's training
+    # distribution: follow its scene geometry.
+    config.data.voxel_size = float(pretrained.data.voxel_size)
+    config.data.num_views = int(pretrained.data.num_views)
+    if pretrained.data.get('image_size') is not None:
+      config.data.image_size = tuple(pretrained.data.image_size)
+
+  if args['scale'] == 'small':
+    config.data.evaluation_size = 128
+    config.data.num_rays = 4_000
+    config.batch_size = 4
+    config.lr_configs.base_learning_rate = 2e-4
+    config.num_training_steps = 3_000
+    config.checkpoint_steps = 500
+    config.log_summary_steps = 100
+    config.log_eval_steps = 500
+    config.steps_per_eval = 8
+  else:
+    config.batch_size = 1
+    config.lr_configs.base_learning_rate = 5e-5
+    config.num_training_steps = 50_000
+    config.checkpoint_steps = 10_000
+    config.log_summary_steps = 1_000
+    config.log_eval_steps = 5_000
   config.dtype_str = 'bfloat16'
   return config

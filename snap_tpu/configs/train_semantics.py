@@ -7,10 +7,22 @@ from __future__ import annotations
 from ml_collections import config_dict
 
 from snap_tpu.configs import defaults
+from snap_tpu.utils import configs as config_utils
 
 
 def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
-  """Return the config."""
+  """Return the config.
+
+  Args DSL adds two keys over the reference's
+  (snap/configs/train_semantics.py:22-36):
+  - ``pretrained_mapper=<workdir>``: fine-tune the head on that
+    experiment's FROZEN trained mapper — the mapper config is taken
+    verbatim from the workdir (so adopted params match exactly) and the
+    data geometry (voxel size, views, image size) follows the mapper's
+    training distribution.
+  - ``scale=small``: a short single-chip schedule sized for the
+    run_small-scale mapper instead of the reference's 50k-step ramp.
+  """
   config = defaults.base()
   config.model_name = 'semantic_net'
   config.model = defaults.semantic_net()
@@ -19,7 +31,12 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   config.model.decoder_type = 'resnet_stage'
   config.model.resnet_num_units = 2
 
-  args = defaults.parse_argument_string(args_str)
+  args = defaults.parse_argument_string(
+      args_str,
+      modalities='streetview+aerial',
+      scale='full',
+      pretrained_mapper='',
+  )
   map_modalities = args['modalities'].split('+')
   config.model.bev_mapper = defaults.bev_mapper(map_modalities)
   if config.model.bev_mapper.streetview_encoder is not None:
@@ -45,11 +62,36 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
       )
   )
 
-  config.batch_size = 1
-  config.lr_configs.base_learning_rate = 5e-5
-  config.num_training_steps = 50_000
-  config.checkpoint_steps = 10_000
-  config.log_summary_steps = 1_000
-  config.log_eval_steps = 5_000
+  if args['pretrained_mapper']:
+    workdir = str(args['pretrained_mapper'])
+    pretrained = config_utils.config_load(workdir)
+    mapper = config_dict.ConfigDict(pretrained.model.bev_mapper)
+    with mapper.unlocked():
+      mapper.pretrained_path = workdir
+    config.model.bev_mapper = mapper
+    # Frozen features are only meaningful on the distribution the mapper
+    # was trained on: follow its scene geometry.
+    config.data.voxel_size = float(pretrained.data.voxel_size)
+    config.data.num_views = int(pretrained.data.num_views)
+    if pretrained.data.get('image_size') is not None:
+      config.data.image_size = tuple(pretrained.data.image_size)
+
+  small = args['scale'] == 'small'
+  if small:
+    config.data.evaluation_size = 128
+    config.batch_size = 8
+    config.lr_configs.base_learning_rate = 2e-4
+    config.num_training_steps = 3_000
+    config.checkpoint_steps = 500
+    config.log_summary_steps = 100
+    config.log_eval_steps = 500
+    config.steps_per_eval = 8
+  else:
+    config.batch_size = 1
+    config.lr_configs.base_learning_rate = 5e-5
+    config.num_training_steps = 50_000
+    config.checkpoint_steps = 10_000
+    config.log_summary_steps = 1_000
+    config.log_eval_steps = 5_000
   config.dtype_str = 'bfloat16'
   return config

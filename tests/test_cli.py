@@ -66,3 +66,18 @@ def test_train_and_evaluate_cli(tmp_path):
       workdir)
   assert result.returncode == 0, result.stderr[-4000:]
   assert 'cached' in result.stderr.lower()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('config', [
+    'snap_tpu/configs/smoke_semantics.py',
+    'snap_tpu/configs/smoke_occupancy.py',
+])
+def test_head_train_cli(tmp_path, config):
+  """The fine-tuning-head smoke configs must run on the 8-device mesh
+  (smoke_semantics once shipped a batch size the mesh could not shard)."""
+  workdir = str(tmp_path / 'run')
+  result = _run_module('snap_tpu.train', config, workdir)
+  assert result.returncode == 0, result.stderr[-4000:]
+  assert 'loss/total' in result.stderr
+  assert os.listdir(os.path.join(workdir, 'checkpoints'))

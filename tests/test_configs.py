@@ -130,3 +130,38 @@ class TestConfigUtils:
     assert not config_utils.config_diff(
         config_dict.ConfigDict({'model': config.model.to_dict()}),
         config_dict.ConfigDict({'model': loaded.model.to_dict()}))
+
+
+class TestPretrainedMapperRecipes:
+  """pretrained_mapper=<workdir> recipes adopt the frozen experiment's
+  mapper config + scene geometry verbatim (param shapes must match the
+  checkpoint being adopted)."""
+
+  def _fake_workdir(self, tmp_path):
+    pre = smoke_localization.get_config()
+    config_utils.config_save(tmp_path, pre)
+    return pre
+
+  def test_semantics_pretrained_mapper(self, tmp_path):
+    from snap_tpu.configs import train_semantics
+    pre = self._fake_workdir(tmp_path)
+    cfg = train_semantics.get_config(
+        f'scale=small,pretrained_mapper={tmp_path}')
+    assert cfg.model.bev_mapper.pretrained_path == str(tmp_path)
+    assert cfg.model.bev_mapper.matching_dim == pre.model.bev_mapper.matching_dim
+    assert cfg.data.voxel_size == pre.data.voxel_size
+    assert cfg.data.num_views == pre.data.num_views
+    assert tuple(cfg.data.image_size) == tuple(pre.data.image_size)
+    assert cfg.optimizer_configs.allocate_frozen_state is False
+    assert cfg.num_training_steps == 3_000
+
+  def test_occupancy_pretrained_mapper(self, tmp_path):
+    from snap_tpu.configs import train_occupancy
+    pre = self._fake_workdir(tmp_path)
+    cfg = train_occupancy.get_config(
+        f'scale=small,pretrained_mapper={tmp_path}')
+    assert cfg.model.streetview_encoder.pretrained_path == str(tmp_path)
+    assert (cfg.model.streetview_encoder.feature_dim
+            == pre.model.bev_mapper.streetview_encoder.feature_dim)
+    assert cfg.data.voxel_size == pre.data.voxel_size
+    assert cfg.data.num_rays == 4_000
