@@ -7,6 +7,7 @@ import numpy as np
 from ml_collections import config_dict
 
 from snap_tpu import evaluator
+from snap_tpu.utils import configs as config_utils
 from snap_tpu.utils import grids
 from snap_tpu.viz import bev as viz_bev
 from snap_tpu.viz import image as viz_image
@@ -188,3 +189,85 @@ def test_eval_on_dataset_sharded_matches_single_device():
   np.testing.assert_allclose(
       single['error_max_meter'], sharded['error_max_meter'],
       rtol=1e-4, atol=1e-4)
+
+
+class TestDumpCacheProtocolGuard:
+  """run_for_location never clobbers a cached dump with a different-protocol
+  rerun: mismatches divert to a protocol-qualified path (ADVICE r3)."""
+
+  def _setup_workdir(self, tmp_path):
+    workdir = pathlib.Path(tmp_path) / 'exp'
+    workdir.mkdir()
+    config_utils.config_save(workdir, config_dict.ConfigDict(
+        {'model_name': 'bev_localizer'}))
+    full_dir = workdir / 'evaluation' / 'loc'
+    evaluator.write_eval_dump(
+        full_dir,
+        {'error_max_meter': np.arange(8.0)},
+        config_dict.ConfigDict({'eval_checkpoint_step': 100}))
+    return workdir, full_dir
+
+  def _eval_config(self, workdir, size, step):
+    loader = config_dict.ConfigDict({'evaluation_size': size})
+    return config_dict.ConfigDict(dict(
+        workdir=str(workdir), checkpoint_step=step, tag='',
+        overwrite=False, batch_size=4, rng_seed=0,
+        data=config_dict.ConfigDict(dict(rng_seed=0, loader=loader)),
+    ))
+
+  def _patch_compute(self, monkeypatch, n_examples, counter):
+    def fake_get(eval_config, config, workdir, location):
+      cfg = config_dict.ConfigDict({'eval_checkpoint_step':
+                                    eval_config.checkpoint_step})
+      return None, None, None, None, cfg, None
+
+    def fake_eval(model, params, model_state, dataset, rng, batch, mesh=None):
+      counter.append(1)
+      return {'error_max_meter': np.full(n_examples, 7.0)}
+
+    monkeypatch.setattr(evaluator, 'get_model_and_dataset', fake_get)
+    monkeypatch.setattr(evaluator, 'eval_on_dataset', fake_eval)
+
+  def test_matching_protocol_hits_cache(self, tmp_path, monkeypatch):
+    workdir, _ = self._setup_workdir(tmp_path)
+    calls = []
+    self._patch_compute(monkeypatch, 8, calls)
+    results, _ = evaluator.run_for_location(
+        'loc', self._eval_config(workdir, 8, 100))
+    assert not calls  # cache hit, no recompute
+    assert len(results['error_max_meter']) == 8
+
+  def test_mismatch_diverts_and_preserves_original(
+      self, tmp_path, monkeypatch):
+    workdir, full_dir = self._setup_workdir(tmp_path)
+    calls = []
+    self._patch_compute(monkeypatch, 4, calls)
+    results, _ = evaluator.run_for_location(
+        'loc', self._eval_config(workdir, 4, 100))
+    assert calls  # recomputed under the quick protocol
+    assert len(results['error_max_meter']) == 4
+    # The expensive full-protocol dump is untouched.
+    kept, _ = evaluator.read_eval_dump(full_dir)
+    assert len(kept['error_max_meter']) == 8
+    # ... and the quick dump landed at a protocol-qualified path.
+    qualified = workdir / 'evaluation' / 'loc-n4-s100'
+    assert (qualified / 'results.npz').exists()
+    # A rerun of the same quick protocol reuses the qualified dump.
+    calls.clear()
+    results, _ = evaluator.run_for_location(
+        'loc', self._eval_config(workdir, 4, 100))
+    assert not calls
+    assert len(results['error_max_meter']) == 4
+
+  def test_unstamped_dump_fails_explicit_step_request(
+      self, tmp_path, monkeypatch):
+    workdir, full_dir = self._setup_workdir(tmp_path)
+    # Strip the recorded step: an unstamped dump cannot satisfy an
+    # explicit checkpoint_step request.
+    evaluator.write_eval_dump(
+        full_dir, {'error_max_meter': np.arange(8.0)},
+        config_dict.ConfigDict({}))
+    calls = []
+    self._patch_compute(monkeypatch, 8, calls)
+    evaluator.run_for_location('loc', self._eval_config(workdir, 8, 100))
+    assert calls  # recomputed, not silently served stale
