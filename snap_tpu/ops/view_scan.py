@@ -27,6 +27,7 @@ Peak memory drops from O(N·K·D) to O(tile·D); per-view reads are dense.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -37,6 +38,64 @@ from snap_tpu.utils import geometry
 Array = jax.Array
 
 NEG_INF = -1e30
+
+# Backward strategy for the patch gather/combine custom VJPs. The shipped
+# 'direct' backward scatter-adds with duplicate indices, which serializes
+# on TPU (~543 ms/step at full training scale, 20% of the step —
+# docs/PERFORMANCE.md round 4); the alternatives trade extra sorted/
+# materialized buffers for vectorizable accumulation. All are exact
+# (up to summation order; 'bf16' accumulates in bfloat16). Select before
+# tracing via set_gather_backward_mode() or SNAP_TPU_SCATTER_MODE.
+GATHER_BACKWARD_MODES = ('direct', 'sorted', 'segsum', 'bf16')
+_gather_backward_mode = os.environ.get('SNAP_TPU_SCATTER_MODE', 'direct')
+
+
+def set_gather_backward_mode(mode: str) -> None:
+  global _gather_backward_mode
+  if mode not in GATHER_BACKWARD_MODES:
+    raise ValueError(f'{mode!r} not in {GATHER_BACKWARD_MODES}')
+  _gather_backward_mode = mode
+
+
+def gather_backward_mode() -> str:
+  return _gather_backward_mode
+
+
+def _scatter_rows(ids: Array, vals: Array, rw: int, mode: str) -> Array:
+  """sum-scatter [B, M, D] float32 rows at [B, M] flat ids into [B, rw, D].
+
+  'direct'/'bf16': one scatter-add (duplicate indices; bf16 accumulator
+  halves traffic). 'sorted': sort contributions by target row first so the
+  scatter can claim indices_are_sorted. 'segsum': no scatter at all — sort,
+  cumsum the rows, and difference the running sum at segment boundaries.
+  """
+  b, _, d = vals.shape
+  if mode in ('direct', 'bf16'):
+    acc_dtype = jnp.bfloat16 if mode == 'bf16' else jnp.float32
+    acc = jnp.zeros((b, rw, d), acc_dtype)
+    out = jax.vmap(lambda a, i, v: a.at[i].add(v.astype(acc_dtype)))(
+        acc, ids, vals)
+    return out.astype(jnp.float32)
+  order = jnp.argsort(ids, axis=1)
+  ids_s = jnp.take_along_axis(ids, order, axis=1)
+  vals_s = jnp.take_along_axis(vals, order[..., None], axis=1)
+  if mode == 'sorted':
+    acc = jnp.zeros((b, rw, d), jnp.float32)
+    return jax.vmap(
+        lambda a, i, v: a.at[i].add(v, indices_are_sorted=True))(
+            acc, ids_s, vals_s)
+  if mode == 'segsum':
+    running = jnp.cumsum(vals_s, axis=1)
+
+    def per_b(i_s, cs):
+      ends = jnp.searchsorted(i_s, jnp.arange(rw), side='right')
+      starts = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
+      padded = jnp.concatenate(
+          [jnp.zeros((1, cs.shape[-1]), cs.dtype), cs], axis=0)
+      return padded[ends] - padded[starts]
+
+    return jax.vmap(per_b)(ids_s, running)
+  raise ValueError(f'Unknown gather backward mode {mode!r}')
 
 
 class ViewScanOutput(NamedTuple):
@@ -245,7 +304,8 @@ def pool_views_scan_single(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_patch_gather(shape: Tuple[int, ...], dtype_name: str):
+def _make_patch_gather(shape: Tuple[int, ...], dtype_name: str,
+                       mode: str = 'direct'):
   """custom_vjp patch gather specialized to an image-stack shape/dtype."""
   b, r, w, d = shape
   dtype = jnp.dtype(dtype_name)
@@ -279,8 +339,7 @@ def _make_patch_gather(shape: Tuple[int, ...], dtype_name: str):
     cols = jnp.stack([col0, col0 + 1, col0, col0 + 1], -1)
     ids = (rows * w + cols).reshape(b, -1)
     g_taps = g.astype(jnp.float32).reshape(b, -1, d)
-    grad = jnp.zeros((b, r * w, d), jnp.float32)
-    grad = jax.vmap(lambda acc, i, v: acc.at[i].add(v))(grad, ids, g_taps)
+    grad = _scatter_rows(ids, g_taps, r * w, mode)
     return grad.reshape(b, r, w, d).astype(dtype), None, None
 
   fn.defvjp(fwd, bwd)
@@ -288,7 +347,8 @@ def _make_patch_gather(shape: Tuple[int, ...], dtype_name: str):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_patch_combine(shape: Tuple[int, ...], dtype_name: str):
+def _make_patch_combine(shape: Tuple[int, ...], dtype_name: str,
+                        mode: str = 'direct'):
   """custom_vjp fused patch-gather + bilinear combine for one stack shape."""
   b, r, w, d = shape
   dtype = jnp.dtype(dtype_name)
@@ -319,15 +379,31 @@ def _make_patch_combine(shape: Tuple[int, ...], dtype_name: str):
     row0, col0, weights = res
     # d stack = sum over taps of scatter_add(w_tap * g) at the tap's flat
     # pixel row. Never materializes the [B, N, 2, 2, D] patch cotangent the
-    # naive einsum transpose would build (5.9 GB f32 at training scale) —
-    # each tap's [B, N, D] value fuses into its scatter.
+    # naive einsum transpose would build (5.9 GB f32 at training scale).
     g32 = g.astype(jnp.float32)
-    grad = jnp.zeros((b, r * w, d), jnp.float32)
-    for a in (0, 1):
-      for c in (0, 1):
-        ids = (row0 + a) * w + (col0 + c)  # [B, N]
-        vals = weights[..., a, c, None].astype(jnp.float32) * g32
-        grad = jax.vmap(lambda acc, i, v: acc.at[i].add(v))(grad, ids, vals)
+    if mode in ('direct', 'bf16'):
+      # Each tap's [B, N, D] value fuses into its own scatter — the lowest-
+      # transient formulation (HBM-tight full-scale training).
+      acc_dtype = jnp.bfloat16 if mode == 'bf16' else jnp.float32
+      grad = jnp.zeros((b, r * w, d), acc_dtype)
+      for a in (0, 1):
+        for c in (0, 1):
+          ids = (row0 + a) * w + (col0 + c)  # [B, N]
+          vals = weights[..., a, c, None].astype(jnp.float32) * g32
+          grad = jax.vmap(
+              lambda acc, i, v: acc.at[i].add(v.astype(acc_dtype)))(
+                  grad, ids, vals)
+      grad = grad.astype(jnp.float32)
+    else:
+      # Sort-based modes materialize the [B, 4N, D] weighted taps (the
+      # per-tap fusion above cannot span the sort); tap order (0,0),(0,1),
+      # (1,0),(1,1) matches the weights' row-major (a, c) layout.
+      rows = jnp.stack([row0, row0, row0 + 1, row0 + 1], -1)
+      cols = jnp.stack([col0, col0 + 1, col0, col0 + 1], -1)
+      ids = (rows * w + cols).reshape(b, -1)
+      vals = (weights.reshape(b, -1, 4)[..., None].astype(jnp.float32)
+              * g32[:, :, None, :]).reshape(b, -1, d)
+      grad = _scatter_rows(ids, vals, r * w, mode)
     # No cotangent for weights: sample coordinates derive from cameras /
     # poses / query points (data, not trainable parameters), matching the
     # gather reference path where those branches are pruned.
@@ -362,8 +438,9 @@ def bilinear_patch_combine(
   full-scale step compile untiled. Weights receive no cotangent (they
   derive from non-trainable geometry).
   """
-  return _make_patch_combine(tuple(stack.shape), stack.dtype.name)(
-      stack, row0, col0, weights)
+  return _make_patch_combine(
+      tuple(stack.shape), stack.dtype.name, _gather_backward_mode)(
+          stack, row0, col0, weights)
 
 
 def gather_bilinear_patches(
@@ -384,8 +461,9 @@ def gather_bilinear_patches(
   which serializes on TPU; the backward scatter-adds the four taps as flat
   pixel *rows* instead.
   """
-  return _make_patch_gather(tuple(images.shape), images.dtype.name)(
-      images, row0, col0)
+  return _make_patch_gather(
+      tuple(images.shape), images.dtype.name, _gather_backward_mode)(
+          images, row0, col0)
 
 
 def interpolate_patch_2d(

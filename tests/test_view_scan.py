@@ -307,3 +307,47 @@ def test_interpolate_patch_2d_matches_interpolate_nd():
   g = jax.grad(lambda a: view_scan.interpolate_patch_2d(
       a, valid, points)[0].sum())(array)
   assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize('mode', ['sorted', 'segsum', 'bf16'])
+def test_gather_backward_modes_match_direct(mode):
+  """Every backward scatter strategy computes the same stack gradient."""
+  key = jax.random.PRNGKey(3)
+  b, r, w, d, n = 2, 7, 9, 8, 50
+  ks = jax.random.split(key, 4)
+  stack = jax.random.normal(ks[0], (b, r, w, d), jnp.float32)
+  row0 = jax.random.randint(ks[1], (b, n), 0, r - 1, jnp.int32)
+  col0 = jax.random.randint(ks[2], (b, n), 0, w - 1, jnp.int32)
+  weights = jax.nn.softmax(
+      jax.random.normal(ks[3], (b, n, 2, 2), jnp.float32))
+
+  def loss_combine(s, mode_):
+    view_scan.set_gather_backward_mode(mode_)
+    try:
+      out = view_scan.bilinear_patch_combine(s, row0, col0, weights)
+    finally:
+      view_scan.set_gather_backward_mode('direct')
+    return (out * jnp.arange(d)).sum()
+
+  def loss_gather(s, mode_):
+    view_scan.set_gather_backward_mode(mode_)
+    try:
+      out = view_scan.gather_bilinear_patches(s, row0, col0)
+    finally:
+      view_scan.set_gather_backward_mode('direct')
+    return (out * jnp.arange(d)).sum()
+
+  for loss in (loss_combine, loss_gather):
+    g_ref = jax.grad(lambda s: loss(s, 'direct'))(stack)
+    g_alt = jax.grad(lambda s: loss(s, mode))(stack)
+    # bf16 accumulates in bfloat16; segsum differences a running cumsum
+    # (rounding grows with segment position — measured rel. 8e-6 here).
+    tol = {'bf16': 5e-2, 'segsum': 1e-3}.get(mode, 1e-5)
+    np.testing.assert_allclose(np.asarray(g_alt), np.asarray(g_ref),
+                               rtol=tol, atol=tol)
+
+
+def test_gather_backward_mode_registry():
+  assert view_scan.gather_backward_mode() == 'direct'
+  with pytest.raises(ValueError):
+    view_scan.set_gather_backward_mode('nope')
