@@ -46,7 +46,7 @@ NEG_INF = -1e30
 # materialized buffers for vectorizable accumulation. All are exact
 # (up to summation order; 'bf16' accumulates in bfloat16). Select before
 # tracing via set_gather_backward_mode() or SNAP_TPU_SCATTER_MODE.
-GATHER_BACKWARD_MODES = ('direct', 'sorted', 'segsum', 'bf16')
+GATHER_BACKWARD_MODES = ('direct', 'sorted', 'sorted_tap', 'segsum', 'bf16')
 _gather_backward_mode = os.environ.get('SNAP_TPU_SCATTER_MODE', 'direct')
 
 
@@ -339,7 +339,10 @@ def _make_patch_gather(shape: Tuple[int, ...], dtype_name: str,
     cols = jnp.stack([col0, col0 + 1, col0, col0 + 1], -1)
     ids = (rows * w + cols).reshape(b, -1)
     g_taps = g.astype(jnp.float32).reshape(b, -1, d)
-    grad = _scatter_rows(ids, g_taps, r * w, mode)
+    # The cotangent is already materialized at [B, 4N, D] here, so the
+    # per-tap variant has no memory edge — use the one-shot sorted path.
+    grad = _scatter_rows(
+        ids, g_taps, r * w, 'sorted' if mode == 'sorted_tap' else mode)
     return grad.reshape(b, r, w, d).astype(dtype), None, None
 
   fn.defvjp(fwd, bwd)
@@ -394,6 +397,21 @@ def _make_patch_combine(shape: Tuple[int, ...], dtype_name: str,
               lambda acc, i, v: acc.at[i].add(v.astype(acc_dtype)))(
                   grad, ids, vals)
       grad = grad.astype(jnp.float32)
+    elif mode == 'sorted_tap':
+      # Sorted-indices scatter per tap: transient stays [B, N, D]-sized
+      # (one tap at a time) instead of the 4N materialization below — for
+      # when 'sorted' wins on speed but busts the full-scale HBM budget.
+      grad = jnp.zeros((b, r * w, d), jnp.float32)
+      for a in (0, 1):
+        for c in (0, 1):
+          ids = (row0 + a) * w + (col0 + c)  # [B, N]
+          vals = weights[..., a, c, None].astype(jnp.float32) * g32
+          order = jnp.argsort(ids, axis=1)
+          ids_s = jnp.take_along_axis(ids, order, axis=1)
+          vals_s = jnp.take_along_axis(vals, order[..., None], axis=1)
+          grad = jax.vmap(
+              lambda acc, i, v: acc.at[i].add(v, indices_are_sorted=True))(
+                  grad, ids_s, vals_s)
     else:
       # Sort-based modes materialize the [B, 4N, D] weighted taps (the
       # per-tap fusion above cannot span the sort); tap order (0,0),(0,1),

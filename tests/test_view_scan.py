@@ -309,7 +309,7 @@ def test_interpolate_patch_2d_matches_interpolate_nd():
   assert np.isfinite(np.asarray(g)).all()
 
 
-@pytest.mark.parametrize('mode', ['sorted', 'segsum', 'bf16'])
+@pytest.mark.parametrize('mode', ['sorted', 'sorted_tap', 'segsum', 'bf16'])
 def test_gather_backward_modes_match_direct(mode):
   """Every backward scatter strategy computes the same stack gradient."""
   key = jax.random.PRNGKey(3)

@@ -78,6 +78,23 @@ def scatter_sorted(ids, vals):
 
 
 @jax.jit
+def scatter_sorted_tap(ids, vals):
+  # Per-tap sorted scatter: 4 sorts of N instead of one of 4N; transient
+  # bounded to one tap's rows (the HBM-safe variant for training).
+  acc = jnp.zeros((B, RW, D), jnp.float32)
+  ids4 = ids.reshape(B, TAPS, N)
+  vals4 = vals.astype(jnp.float32).reshape(B, TAPS, N, D)
+  for t in range(TAPS):
+    order = jnp.argsort(ids4[:, t], axis=1)
+    i_s = jnp.take_along_axis(ids4[:, t], order, axis=1)
+    v_s = jnp.take_along_axis(vals4[:, t], order[..., None], axis=1)
+    acc = jax.vmap(
+        lambda a, i, v: a.at[i].add(v, indices_are_sorted=True))(
+            acc, i_s, v_s)
+  return acc
+
+
+@jax.jit
 def scatter_segsum(ids, vals):
   order = jnp.argsort(ids, axis=1)
   ids_s = jnp.take_along_axis(ids, order, axis=1)
@@ -133,6 +150,7 @@ def main():
       ('current', scatter_current),
       ('bf16', scatter_bf16),
       ('sorted', scatter_sorted),
+      ('sorted_tap', scatter_sorted_tap),
       ('segsum', scatter_segsum),
       ('onehot', scatter_onehot),
   ):
