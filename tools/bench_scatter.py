@@ -143,7 +143,16 @@ def timeit(fn, *args, iters=ITERS):
 
 
 def main():
+  global B, N, RW, D
   iters = 3 if '--quick' in sys.argv else ITERS
+  for a in sys.argv[1:]:
+    # --shape B,4N_total,RW,D — e.g. the template-sampling backward's
+    # regime is --shape 2,627264,9801,33 (narrow rows, small target).
+    if a.startswith('--shape'):
+      B, total, RW, D = map(int, a.split('=')[1].split(','))
+      N = total // TAPS
+  print(json.dumps({'shape': {'B': B, 'contribs': TAPS * N,
+                              'RW': RW, 'D': D}}))
   ids, vals = jax.device_put(make_inputs(jax.random.PRNGKey(0)))
   ref = None
   for name, fn in (
