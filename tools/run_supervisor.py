@@ -62,19 +62,21 @@ def kill_group(proc: subprocess.Popen) -> None:
 
 def run_watched(cmd: list[str], log_path: pathlib.Path, *,
                 stall_secs: float, hard_timeout: float,
-                stop_file: pathlib.Path, deadline: float) -> int:
+                stop_file: pathlib.Path, deadline: float,
+                env: dict[str, str] | None = None) -> int:
   """Run cmd in its own process group; kill on log stall/stop/deadline.
 
   Returns the exit code, or -9 if killed. Progress = the log file growing
   (summaries appear every log_summary_steps; stall_secs must cover the
   first-step XLA compile).
   """
+  child_env = dict(os.environ, **(env or {}))
   with log_path.open('ab') as f:
     f.write(f'\n===== supervisor: {" ".join(cmd)} =====\n'.encode())
     f.flush()
     proc = subprocess.Popen(
         cmd, stdout=f, stderr=subprocess.STDOUT, cwd=REPO,
-        start_new_session=True)
+        start_new_session=True, env=child_env)
   start = time.monotonic()
   last_size, last_growth = -1, time.monotonic()
   while True:
@@ -115,6 +117,122 @@ def preflight(timeout: float = 150.0) -> bool:
   except OSError as e:
     log(f'preflight failed to launch: {e}')
     return False
+
+
+def run_capture(cmd: list[str], timeout: float) -> tuple[int, str]:
+  """Run cmd in its own process group, capture stdout; SIGKILL on timeout."""
+  proc = subprocess.Popen(
+      cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+      start_new_session=True, text=True)
+  try:
+    out, _ = proc.communicate(timeout=timeout)
+    return proc.returncode, out or ''
+  except subprocess.TimeoutExpired:
+    kill_group(proc)
+    out = proc.stdout.read() if proc.stdout else ''
+    return -9, out or ''
+
+
+# Training-usable exact backward-scatter modes (ops/view_scan.py). 'bf16'
+# accumulates in bf16 (approximate) and 'onehot' is bench-only, so neither
+# is eligible; 'sorted' and 'segsum' materialize a [B,4N,D] f32 sorted
+# transient (~1.5 GB at the lift shape) that does not fit next to the
+# full-scale step's 15.75 G peak, so they are excluded for training even
+# when they win the isolated microbenchmark. 'sorted_tap' bounds the
+# transient to one tap (~0.37 GB) — the only sorted variant with a chance.
+SELECTABLE_MODES = ('direct', 'sorted_tap')
+# bench_scatter.py names the shipped f32 .at[].add backward 'current'.
+BENCH_NAME = {'direct': 'current'}
+# The two real regimes from the round-3 trace: the lift gather backward
+# (543 ms/step) and the rotated-template sampling backward (120 ms/step).
+SCATTER_SHAPES = {'lift': '2,1152000,56120,160', 'template': '2,627264,9801,33'}
+SCATTER_WEIGHTS = {'lift': 1.0, 'template': 1.0}
+
+
+def select_scatter_mode(results_dir: pathlib.Path) -> str:
+  """One-shot on-chip scatter benchmark -> best exact mode for training.
+
+  Writes <results_dir>/scatter_selected.json and returns the chosen mode.
+  Returns 'direct' (the shipped default) on any failure.
+  """
+  sel_path = results_dir / 'scatter_selected.json'
+  if sel_path.exists():
+    try:
+      return json.loads(sel_path.read_text()).get('selected', 'direct')
+    except (json.JSONDecodeError, OSError):
+      return 'direct'
+  tables: dict[str, dict[str, dict]] = {}
+  for regime, shape in SCATTER_SHAPES.items():
+    log(f'scatter bench: {regime} ({shape})')
+    rc, out = run_capture(
+        [sys.executable, 'tools/bench_scatter.py', '--quick',
+         f'--shape={shape}'], timeout=1800.0)
+    rows = {}
+    for line in out.splitlines():
+      try:
+        d = json.loads(line)
+      except json.JSONDecodeError:
+        continue
+      if 'name' in d:
+        rows[d['name']] = d
+    tables[regime] = rows
+    if rc != 0:
+      log(f'scatter bench {regime} rc={rc}; selecting default')
+      sel_path.write_text(json.dumps(
+          {'selected': 'direct', 'reason': f'bench rc={rc}',
+           'tables': tables}, indent=1))
+      return 'direct'
+  best, best_ms = 'direct', float('inf')
+  for mode in SELECTABLE_MODES:
+    total = 0.0
+    ok = True
+    for regime, rows in tables.items():
+      row = rows.get(BENCH_NAME.get(mode, mode))
+      # Require a clean exact run in every regime (rel err vs the f32
+      # scatter baseline is reordering noise; 5e-3 is generous for f32).
+      if not row or 'ms' not in row or row.get('max_rel_err', 1.0) > 5e-3:
+        ok = False
+        break
+      total += SCATTER_WEIGHTS[regime] * row['ms']
+    if ok and total < best_ms:
+      best, best_ms = mode, total
+  sel_path.write_text(json.dumps(
+      {'selected': best, 'weighted_ms': round(best_ms, 2), 'tables': tables},
+      indent=1))
+  log(f'scatter mode selected: {best} ({best_ms:.1f} weighted ms)')
+  return best
+
+
+def demote_scatter_mode(results_dir: pathlib.Path, reason: str) -> None:
+  """Record that the selected mode failed in training; pin 'direct'."""
+  sel_path = results_dir / 'scatter_selected.json'
+  try:
+    sel = json.loads(sel_path.read_text()) if sel_path.exists() else {}
+  except (json.JSONDecodeError, OSError):
+    sel = {}
+  sel['demoted_from'] = sel.get('selected')
+  sel['selected'] = 'direct'
+  sel['demote_reason'] = reason
+  sel_path.write_text(json.dumps(sel, indent=1))
+
+
+def pallas_probe_once(results_dir: pathlib.Path) -> None:
+  """Bounded one-shot Mosaic-compile attempt (VERDICT round-3 item #5).
+
+  The DMA-ring gather kernel passes interpret-mode parity but Mosaic has
+  never compiled through this image's tunnel; every attempt is recorded,
+  success or failure, so the keep-or-retire decision carries a dated log.
+  """
+  out_path = results_dir / 'pallas_probe_r4.json'
+  if out_path.exists():
+    return
+  log('pallas probe: one bounded on-chip attempt')
+  rc, out = run_capture(
+      [sys.executable, 'tools/pallas_gather_probe.py'], timeout=900.0)
+  out_path.write_text(json.dumps(
+      {'utc': time.strftime('%Y-%m-%d %H:%M:%S', time.gmtime()),
+       'rc': rc, 'tail': out[-4000:]}, indent=1))
+  log(f'pallas probe rc={rc} (recorded)')
 
 
 def latest_step(workdir: pathlib.Path) -> int:
@@ -205,6 +323,8 @@ def main() -> None:
 
   log(f'supervising {workdir} -> step {args.target_step}, deadline '
       f'{time.strftime("%H:%M:%S", time.localtime(args.deadline_ts))}')
+  scatter_mode = None
+  no_progress_streak = 0
   while True:
     if stop_file.exists():
       log('stop file present; exiting')
@@ -216,6 +336,16 @@ def main() -> None:
       log(f'preflight failed (tunnel down?); retry in {args.retry_secs:.0f}s')
       time.sleep(args.retry_secs)
       continue
+    if scatter_mode is None:
+      # First tunnel-up moment of this supervisor: spend a few bounded
+      # minutes choosing the backward-scatter mode the remaining chunks
+      # train with (round-3 trace: the default costs ~24% of the step),
+      # and record one Mosaic-compile attempt for the Pallas decision.
+      if time.time() + 2400 < args.deadline_ts:
+        scatter_mode = select_scatter_mode(results_dir)
+        pallas_probe_once(results_dir)
+      else:
+        scatter_mode = 'direct'
     step = latest_step(workdir)
     # Catch up any missed eval boundaries first (e.g. after an outage).
     for s in eval_boundary_due(step):
@@ -227,17 +357,31 @@ def main() -> None:
                   ((step // args.eval_every) + 1) * args.eval_every,
                   args.target_step]
     stop_at = min(boundaries)
-    log(f'training chunk: step {step} -> {stop_at}')
+    log(f'training chunk: step {step} -> {stop_at} '
+        f'(scatter_mode={scatter_mode})')
     cmd = [sys.executable, '-m', 'snap_tpu.train', f'--config={args.config}',
            f'--workdir={workdir}', f'--stop_at_step={stop_at}']
     rc = run_watched(cmd, train_log, stall_secs=args.train_stall_secs,
                      hard_timeout=6 * 3600.0, stop_file=stop_file,
-                     deadline=args.deadline_ts)
+                     deadline=args.deadline_ts,
+                     env={'SNAP_TPU_SCATTER_MODE': scatter_mode})
     new_step = latest_step(workdir)
     log(f'chunk exited rc={rc}, checkpoint at step {new_step}')
     if rc != 0 and new_step <= step:
+      no_progress_streak += 1
+      if no_progress_streak >= 2 and scatter_mode != 'direct':
+        # The selected mode may not fit/compile at training scale even
+        # though the microbenchmark ran; pin the shipped default.
+        log(f'demoting scatter mode {scatter_mode} -> direct '
+            f'after {no_progress_streak} stalled chunks')
+        demote_scatter_mode(
+            results_dir, f'{no_progress_streak} no-progress chunks')
+        scatter_mode = 'direct'
+        no_progress_streak = 0
       # No forward progress: back off before retrying.
       time.sleep(args.retry_secs)
+    else:
+      no_progress_streak = 0
 
 
 if __name__ == '__main__':
