@@ -19,7 +19,11 @@ D=160):
   onehot    [N -> RW] one-hot matmul on the MXU (exact, dense): traffic
             N*RW bf16 one-hot is huge, but the MXU is idle in this phase
 
-Usage: python tools/bench_scatter.py [--quick]
+Usage: python tools/bench_scatter.py [--quick] [--sync] [--modes=a,b]
+  --sync   block every iteration (trustworthy sub-10ms timings on the
+           remote tunnel; see timeit())
+  --modes  comma-separated subset to run (errors are then relative to the
+           first mode run)
 Prints one JSON line per candidate: {name, ms, max_abs_err vs current}.
 """
 import functools
@@ -133,18 +137,31 @@ def scatter_onehot(ids, vals):
   return jax.vmap(per_b)(ids, vals)
 
 
-def timeit(fn, *args, iters=ITERS):
+def timeit(fn, *args, iters=ITERS, sync=False):
   out = fn(*args)
   jax.block_until_ready(out)
   t0 = time.perf_counter()
-  outs = [fn(*args) for _ in range(iters)]
-  jax.block_until_ready(outs[-1])
+  if sync:
+    # Block every iteration: immune to any async-dispatch/dedup artifact in
+    # the remote tunnel (the round-4 'current' row measured 0.3 ms at a
+    # shape whose HBM floor is ~4 ms — impossible, so the pipelined timing
+    # path cannot be trusted for sub-10ms programs on this backend).
+    for _ in range(iters):
+      jax.block_until_ready(fn(*args))
+  else:
+    outs = [fn(*args) for _ in range(iters)]
+    jax.block_until_ready(outs[-1])
   return (time.perf_counter() - t0) / iters, out
 
 
 def main():
   global B, N, RW, D
   iters = 3 if '--quick' in sys.argv else ITERS
+  sync = '--sync' in sys.argv
+  only = None
+  for a in sys.argv[1:]:
+    if a.startswith('--modes='):
+      only = set(a.split('=')[1].split(','))
   for a in sys.argv[1:]:
     # --shape B,4N_total,RW,D — e.g. the template-sampling backward's
     # regime is --shape 2,627264,9801,33 (narrow rows, small target).
@@ -163,8 +180,10 @@ def main():
       ('segsum', scatter_segsum),
       ('onehot', scatter_onehot),
   ):
+    if only is not None and name not in only:
+      continue
     try:
-      dt, out = timeit(fn, ids, vals, iters=iters)
+      dt, out = timeit(fn, ids, vals, iters=iters, sync=sync)
       out = np.asarray(jax.device_get(out), np.float32)
       if ref is None:
         ref = out

@@ -130,7 +130,7 @@ def bench():
     print('device parity OK')
   except Exception as e:  # pylint: disable=broad-except
     print(f'device parity FAILED: {type(e).__name__}: {str(e)[:400]}')
-    return
+    return 1
   # Production shape: 20 views of 46x61 rows stacked, C=192 (160 feat + 32
   # score bins), 1.15M descriptors (120x160x60 grid points, one rank).
   r, w, c = 20 * 46, 61, 192
@@ -138,6 +138,7 @@ def bench():
   stack = jnp.asarray(rng.normal(size=(r, w, c)), jnp.bfloat16)
   row0 = jnp.asarray(rng.integers(0, r - 2, size=n), jnp.int32)
   col0 = jnp.asarray(rng.integers(0, w - 2, size=n), jnp.int32)
+  failures = 0
 
   def timeit(fn, *args, iters=5):
     out = fn(*args)
@@ -164,10 +165,15 @@ def bench():
     except Exception as e:  # pylint: disable=broad-except
       print(f'Pallas DMA (t={tile}): FAILED {type(e).__name__}: '
             f'{str(e)[:300]}')
+      failures += 1
+  return 1 if failures else 0
 
 
 if __name__ == '__main__':
   if '--check' in sys.argv:
     check()
   else:
-    bench()
+    # Exit nonzero when Mosaic cannot compile / parity fails on-device, so
+    # the supervisor's recorded rc distinguishes success from the known
+    # tunnel remote-compile blocker (docs/PERFORMANCE.md).
+    sys.exit(bench())
