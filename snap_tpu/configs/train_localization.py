@@ -40,6 +40,11 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
       # (beyond-reference: upstream declared the slot but raised
       # NotImplementedError, snap/models/bev_mapper.py:141-142).
       bev_net=0,
+      # Training-time lift tile size override (points per tile; 0 keeps the
+      # per-scale default). Smaller tiles bound the lift transient — the
+      # knob that lets HBM-hungrier backward-scatter modes fit
+      # (tools/probe_compile_hbm.py sweeps this compile-only).
+      point_tile=0,
   )
   image_encoder = defaults.resnet(args['image_encoder'])
   if args['pretrained_resnet']:
@@ -106,7 +111,8 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     if defaults.MapModalities.STREETVIEW in map_modalities:
       # 4 unrolled lift tiles: the measured HBM/compile sweet spot at
       # batch 2 (tools/probe_train_compile.py; docs/PERFORMANCE.md).
-      config.model.bev_mapper.streetview_encoder.point_tile = 288_000
+      config.model.bev_mapper.streetview_encoder.point_tile = (
+          int(args['point_tile']) or 288_000)
     config.checkpoint_steps = 500
     config.log_summary_steps = 100
     config.log_eval_steps = 2_000
@@ -123,6 +129,11 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     config.dtype_str = 'bfloat16'
     config.init_backend = 'device'
     return config
+
+  if int(args['point_tile']) and (
+      defaults.MapModalities.STREETVIEW in map_modalities):
+    config.model.bev_mapper.streetview_encoder.point_tile = (
+        int(args['point_tile']))
 
   if small:
     # From-scratch convergence on synthetic data: short schedule, higher lr.
