@@ -83,11 +83,23 @@ def main():
       donate_argnums=(0,),
   )
 
+  dump_path = None
+  for a in sys.argv[1:]:
+    if a.startswith('--dump_hlo='):
+      dump_path = a.split('=', 1)[1]
+
   out = {'point_tile': point_tile, 'batch': batch, 'scatter_mode': mode}
   t0 = time.perf_counter()
   try:
     compiled = step.lower(state, batch_abs).compile()
     out['compile_s'] = round(time.perf_counter() - t0, 1)
+    if dump_path:
+      # Optimized (post-fusion) HLO: the relay helper scrubs xla_dump_to,
+      # but the AOT executable carries its module text — the only way to
+      # map trace fusion names (e.g. the 911 ms 'fusion') back to ops.
+      with open(dump_path, 'w') as f:
+        f.write(compiled.as_text())
+      out['hlo_chars'] = os.path.getsize(dump_path)
     mem = compiled.memory_analysis()
     hbm = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
            + mem.output_size_in_bytes)
