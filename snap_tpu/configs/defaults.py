@@ -324,6 +324,12 @@ def semantic_net() -> config_dict.ConfigDict:
           mlp_num_layers=2,
           resnet_num_units=8,
           apply_random_flip=False,
+          # Cut the backward at the mapper output. Exact iff every mapper
+          # parameter is frozen (freeze_params_reg_exp covers bev_mapper/):
+          # XLA then drops the whole mapper backward and its saved
+          # residuals — fine-tuning fits a bigger batch and skips ~the
+          # mapper's share of the step.
+          stop_mapper_gradients=False,
           area_classes=(
               'crosswalk', 'sidewalk', 'road', 'terrain', 'building',
           ),

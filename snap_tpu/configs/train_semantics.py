@@ -36,6 +36,10 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
       modalities='streetview+aerial',
       scale='full',
       pretrained_mapper='',
+      # 0 keeps the per-scale default. A full-scale mapper (0.2 m / 20
+      # views) needs a smaller batch than the small-scale default even
+      # with the backward cut at the mapper output.
+      batch_size=0,
   )
   map_modalities = args['modalities'].split('+')
   config.model.bev_mapper = defaults.bev_mapper(map_modalities)
@@ -43,8 +47,11 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     config.model.bev_mapper.streetview_encoder.max_view_distance = 20.0
   config.optimizer_configs.freeze_params_reg_exp = r'bev_mapper/'
   # The whole mapper is frozen: skip its Adam moments (~2x mapper bytes of
-  # HBM back at R152x2 scale; the head checkpoint stays self-consistent).
+  # HBM back at R152x2 scale; the head checkpoint stays self-consistent)
+  # and cut the backward at the mapper output (exact for a fully frozen
+  # mapper; XLA drops the mapper backward + residuals).
   config.optimizer_configs.allocate_frozen_state = False
+  config.model.stop_mapper_gradients = True
 
   config.data = defaults.streetview_singlescene()
   config.data.update(
@@ -93,5 +100,7 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     config.checkpoint_steps = 10_000
     config.log_summary_steps = 1_000
     config.log_eval_steps = 5_000
+  if int(args['batch_size']):
+    config.batch_size = int(args['batch_size'])
   config.dtype_str = 'bfloat16'
   return config

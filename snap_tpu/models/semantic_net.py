@@ -170,6 +170,11 @@ class SemanticNet(nn.Module):
     if 'map' in data:
       data = data['map']
     pred = self.bev_mapper(data, train)
+    if self.config.get('stop_mapper_gradients', False):
+      # Exact when the whole mapper is frozen (the train_semantics
+      # recipes freeze bev_mapper/): no parameter upstream of this cut
+      # needs a gradient, so the mapper backward is dead code to XLA.
+      pred = jax.lax.stop_gradient(pred)
     neural_map = pred['bev_features']
 
     flips = None

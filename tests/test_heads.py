@@ -1,5 +1,6 @@
 """Tests for the SemanticNet and OccupancyNet heads."""
 
+import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -117,3 +118,65 @@ class TestOccupancyNet:
         np.asarray(samples.points[0]) - np.asarray(origins[0]), axis=-1)
     assert dists[1] == 0.0  # at the origin
     assert dists[-1] <= 5.0 - 0.2 + 1e-5
+
+
+class TestStopMapperGradients:
+  """stop_mapper_gradients: exact for the decoder, zero for the mapper."""
+
+  def _loss_fn(self, model, batch):
+    def loss(variables):
+      pred = model.flax_model.apply(
+          variables, batch, train=True,
+          rngs={'sampling': jax.random.PRNGKey(2)})
+      losses, _ = model.loss_metrics_function(pred, batch)
+      return losses['total'].mean()
+    return loss
+
+  def test_exact_decoder_grads_zero_mapper_grads(self, dataset, batch):
+    config = defaults.semantic_net()
+    config.bev_mapper = helpers.tiny_bev_mapper(('streetview', 'aerial'))
+    config.decoder_dim = 16
+    config.apply_random_flip = False
+
+    def build(stop):
+      cfg = config.copy_and_resolve_references()
+      with cfg.unlocked():
+        cfg.stop_mapper_gradients = stop
+      return semantic_net.SemanticNetModel(cfg, dataset.meta_data,
+                                           jnp.float32)
+
+    model_ref, model_cut = build(False), build(True)
+    rngs = {'params': jax.random.PRNGKey(0),
+            'sampling': jax.random.PRNGKey(1)}
+    variables = jax.jit(
+        lambda b: model_ref.flax_model.init(rngs, b, train=False))(batch)
+
+    loss_ref, grads_ref = jax.value_and_grad(
+        self._loss_fn(model_ref, batch))(variables)
+    loss_cut, grads_cut = jax.value_and_grad(
+        self._loss_fn(model_cut, batch))(variables)
+
+    # Same forward -> same loss.
+    np.testing.assert_allclose(float(loss_cut), float(loss_ref), rtol=1e-6)
+
+    flat_ref = flax.traverse_util.flatten_dict(grads_ref['params'], sep='/')
+    flat_cut = flax.traverse_util.flatten_dict(grads_cut['params'], sep='/')
+    assert flat_ref.keys() == flat_cut.keys()
+    n_mapper = n_head = 0
+    for k in flat_ref:
+      if k.startswith('bev_mapper/'):
+        # The cut zeroes exactly the frozen subtree.
+        assert float(jnp.abs(flat_cut[k]).max()) == 0.0, k
+        n_mapper += 1
+      else:
+        # ...and leaves every decoder gradient bit-unchanged (the cut sits
+        # strictly upstream of the decoder).
+        np.testing.assert_array_equal(
+            np.asarray(flat_cut[k]), np.asarray(flat_ref[k]), err_msg=k)
+        n_head += 1
+    assert n_mapper > 0 and n_head > 0
+    # The reference run must actually have nonzero mapper grads, or the
+    # zero-check above is vacuous.
+    assert any(
+        float(jnp.abs(flat_ref[k]).max()) > 0
+        for k in flat_ref if k.startswith('bev_mapper/'))
