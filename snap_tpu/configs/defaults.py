@@ -310,6 +310,9 @@ def occupancy_net() -> config_dict.ConfigDict:
           ray_margin=0.2,
           streetview_encoder=streetview_encoder(),
           occupancy_mlp=predictor,
+          # Cut the backward at the encoder output — exact iff the whole
+          # encoder is frozen (see semantic_net.stop_mapper_gradients).
+          stop_encoder_gradients=False,
       )
   ).lock()
 

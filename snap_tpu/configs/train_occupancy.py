@@ -27,8 +27,10 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
       args_str, scale='full', pretrained_mapper='')
 
   config.optimizer_configs.freeze_params_reg_exp = r'streetview_encoder/'
-  # The frozen encoder is most of the model: skip its Adam moments.
+  # The frozen encoder is most of the model: skip its Adam moments and cut
+  # the backward at its output (exact — only the occupancy MLP trains).
   config.optimizer_configs.allocate_frozen_state = False
+  config.model.stop_encoder_gradients = True
 
   cities = defaults.DATA_SPLITS_CITIES['train']
   locations = ','.join(f'{c}-synthetic' for c in cities)

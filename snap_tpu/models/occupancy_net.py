@@ -82,6 +82,11 @@ class OccupancyNet(nn.Module):
     xyz_grid = jnp.broadcast_to(
         xyz_grid[None], (len(data['images']), *xyz_grid.shape))
     pred = self.streetview_encoder(data | dict(xyz_query=xyz_grid), train)
+    if self.config.get('stop_encoder_gradients', False):
+      # Exact when the whole streetview_encoder/ subtree is frozen (the
+      # train_occupancy recipes): only the occupancy MLP needs gradients,
+      # so the encoder backward is dead code to XLA.
+      pred = jax.lax.stop_gradient(pred)
     volume = pred['feature_volume']
 
     queries = data.get('occupancy_queries')

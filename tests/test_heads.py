@@ -180,3 +180,42 @@ class TestStopMapperGradients:
     assert any(
         float(jnp.abs(flat_ref[k]).max()) > 0
         for k in flat_ref if k.startswith('bev_mapper/'))
+
+  def test_stop_encoder_gradients_exact(self, dataset, batch):
+    def build(stop):
+      config = defaults.occupancy_net()
+      config.streetview_encoder = helpers.tiny_streetview_encoder()
+      config.num_samples_per_ray = 5
+      config.occupancy_mlp.layers = (16, 1)
+      with config.unlocked():
+        config.stop_encoder_gradients = stop
+      return occupancy_net.OccupancyNetModel(config, dataset.meta_data,
+                                             jnp.float32)
+
+    model_ref, model_cut = build(False), build(True)
+    rngs = {'params': jax.random.PRNGKey(0),
+            'sampling': jax.random.PRNGKey(1)}
+    variables = jax.jit(
+        lambda b: model_ref.flax_model.init(rngs, b, train=False))(batch)
+
+    def loss_fn(model):
+      def loss(v):
+        pred = model.flax_model.apply(
+            v, batch, train=True, rngs={'sampling': jax.random.PRNGKey(2)})
+        losses, _ = model.loss_metrics_function(pred, batch)
+        return losses['total'].mean()
+      return loss
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn(model_ref))(variables)
+    loss_cut, grads_cut = jax.value_and_grad(loss_fn(model_cut))(variables)
+    np.testing.assert_allclose(float(loss_cut), float(loss_ref), rtol=1e-6)
+    flat_ref = flax.traverse_util.flatten_dict(grads_ref['params'], sep='/')
+    flat_cut = flax.traverse_util.flatten_dict(grads_cut['params'], sep='/')
+    enc = [k for k in flat_ref if k.startswith('streetview_encoder/')]
+    head = [k for k in flat_ref if not k.startswith('streetview_encoder/')]
+    assert enc and head
+    assert all(float(jnp.abs(flat_cut[k]).max()) == 0.0 for k in enc)
+    assert any(float(jnp.abs(flat_ref[k]).max()) > 0 for k in enc)
+    for k in head:
+      np.testing.assert_array_equal(
+          np.asarray(flat_cut[k]), np.asarray(flat_ref[k]), err_msg=k)
