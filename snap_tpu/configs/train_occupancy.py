@@ -24,7 +24,11 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   config.model.occupancy_mlp.layers = (128, 256, 1)
 
   args = defaults.parse_argument_string(
-      args_str, scale='full', pretrained_mapper='')
+      args_str, scale='full', pretrained_mapper='',
+      # 0 keeps the per-scale default. A full-scale encoder (0.2 m / 20
+      # views) needs a smaller batch than the small-scale default even
+      # with the backward cut at the encoder output.
+      batch_size=0)
 
   config.optimizer_configs.freeze_params_reg_exp = r'streetview_encoder/'
   # The frozen encoder is most of the model: skip its Adam moments and cut
@@ -80,5 +84,7 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     config.checkpoint_steps = 10_000
     config.log_summary_steps = 1_000
     config.log_eval_steps = 5_000
+  if int(args['batch_size']):
+    config.batch_size = int(args['batch_size'])
   config.dtype_str = 'bfloat16'
   return config

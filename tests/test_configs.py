@@ -165,3 +165,13 @@ class TestPretrainedMapperRecipes:
             == pre.model.bev_mapper.streetview_encoder.feature_dim)
     assert cfg.data.voxel_size == pre.data.voxel_size
     assert cfg.data.num_rays == 4_000
+
+  def test_occupancy_batch_size_override(self, tmp_path):
+    from snap_tpu.configs import train_occupancy
+    self._fake_workdir(tmp_path)
+    cfg = train_occupancy.get_config(
+        f'scale=small,pretrained_mapper={tmp_path},batch_size=2')
+    assert cfg.batch_size == 2
+    # 0 keeps the per-scale default.
+    cfg = train_occupancy.get_config('scale=small,batch_size=0')
+    assert cfg.batch_size == 4
