@@ -134,3 +134,21 @@ def test_select_scatter_mode_bench_failure_defaults(tmp_path, monkeypatch):
   sel = json.loads((tmp_path / 'scatter_selected.json').read_text())
   assert sel['selected'] == 'direct'
   assert 'rc=-9' in sel['reason']
+
+
+def test_rotation_conditional_analyze_dump(tmp_path):
+  root = pathlib.Path(__file__).resolve().parent.parent
+  spec = importlib.util.spec_from_file_location(
+      'rotation_conditional', root / 'tools' / 'rotation_conditional.py')
+  rc = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(rc)
+  # 4 examples: 2 well-localized (1 with good rotation), 2 far off.
+  np.savez(tmp_path / 'results.npz',
+           error_max_meter=np.array([0.3, 0.8, 7.0, 12.0]),
+           error_max_deg=np.array([0.5, 20.0, 90.0, 3.0]))
+  out = rc.analyze_dump(tmp_path / 'results.npz')
+  assert out['num_examples'] == 4
+  assert out['recall_pos_1m'] == 0.5
+  assert out['recall_rot_1deg'] == 0.25
+  assert out['recall_rot_1deg_given_pos_1m'] == 0.5
+  assert out['recall_rot_5deg_given_pos_gt5m'] == 0.5
