@@ -45,6 +45,10 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
       # knob that lets HBM-hungrier backward-scatter modes fit
       # (tools/probe_compile_hbm.py sweeps this compile-only).
       point_tile=0,
+      # Workdir (or tools/export_pretrained.py mini-workdir) whose trained
+      # bev_mapper subtree warm-starts this run's mapper — the cross-round
+      # continuation path for checkpoints exported to git. Empty = scratch.
+      pretrained_mapper='',
   )
   image_encoder = defaults.resnet(args['image_encoder'])
   if args['pretrained_resnet']:
@@ -61,6 +65,8 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   if int(args['bev_net']):
     config.model.bev_mapper.bev_net = config_dict.ConfigDict(
         dict(num_units=2, checkpoint_units=True))
+  if args['pretrained_mapper']:
+    config.model.bev_mapper.pretrained_path = str(args['pretrained_mapper'])
 
   if defaults.MapModalities.STREETVIEW in map_modalities:
     config.model.bev_mapper.streetview_encoder.image_encoder.encoder = (

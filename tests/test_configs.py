@@ -166,6 +166,17 @@ class TestPretrainedMapperRecipes:
     assert cfg.data.voxel_size == pre.data.voxel_size
     assert cfg.data.num_rays == 4_000
 
+  def test_localization_pretrained_mapper_warm_start(self):
+    from snap_tpu.configs import train_localization
+    cfg = train_localization.get_config(
+        'scale=full1chip,pose_backend=exhaustive,'
+        'pretrained_mapper=pretrained/full1chip')
+    assert cfg.model.bev_mapper.pretrained_path == 'pretrained/full1chip'
+    # Default stays from-scratch: the arg must not perturb the live recipe.
+    cfg = train_localization.get_config(
+        'scale=full1chip,pose_backend=exhaustive')
+    assert cfg.model.bev_mapper.pretrained_path is None
+
   def test_occupancy_batch_size_override(self, tmp_path):
     from snap_tpu.configs import train_occupancy
     self._fake_workdir(tmp_path)
