@@ -66,6 +66,9 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     config.data.num_views = int(pretrained.data.num_views)
     if pretrained.data.get('image_size') is not None:
       config.data.image_size = tuple(pretrained.data.image_size)
+    # A trained encoder is usually full-scale: CPU-backend init forward
+    # takes minutes there (see train_localization.py init_backend note).
+    config.init_backend = 'device'
 
   if args['scale'] == 'small':
     config.data.evaluation_size = 128

@@ -82,6 +82,10 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     config.data.num_views = int(pretrained.data.num_views)
     if pretrained.data.get('image_size') is not None:
       config.data.image_size = tuple(pretrained.data.image_size)
+    # A trained mapper is usually full-scale: the init forward pass on the
+    # CPU backend takes minutes there (the full1chip recipe hit the same;
+    # train_localization.py init_backend note).
+    config.init_backend = 'device'
 
   small = args['scale'] == 'small'
   if small:
