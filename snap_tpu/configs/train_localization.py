@@ -49,6 +49,14 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
       # bev_mapper subtree warm-starts this run's mapper — the cross-round
       # continuation path for checkpoints exported to git. Empty = scratch.
       pretrained_mapper='',
+      # Effective step the pretrained_mapper export was taken at. When set
+      # (full1chip only), the schedule continues the 20k-step recipe's tail
+      # instead of re-running warmup+cosine from scratch: a 100-step
+      # re-warmup (fresh Adam moments) up to the original schedule's LR at
+      # that step, then cosine to zero over the remaining steps. The data
+      # shuffle seed is folded with the step so the continuation does not
+      # replay the examples the original run already consumed.
+      continue_step=0,
   )
   image_encoder = defaults.resnet(args['image_encoder'])
   if args['pretrained_resnet']:
@@ -134,6 +142,20 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     config.max_grad_norm = 1.0
     config.dtype_str = 'bfloat16'
     config.init_backend = 'device'
+    if (cs := int(args['continue_step'])) > 0:
+      # Continue the original schedule's tail from a params-only export.
+      import math
+
+      base, warmup, decay0, cycle = 2e-4, 1_000, 4_000, 16_000
+      frac = min(1.0, max(0.0, (cs - decay0) / cycle))
+      effective_lr = base * min(1.0, cs / warmup) * 0.5 * (
+          1.0 + math.cos(math.pi * frac))
+      config.num_training_steps = max(200, 20_000 - cs)
+      config.lr_configs.warmup_steps = 100
+      config.lr_configs.start_decay_step = 100
+      config.lr_configs.base_learning_rate = effective_lr
+      config.lr_configs.steps_per_cycle = config.num_training_steps - 100
+      config.shuffle_seed = 1234567 + cs
     return config
 
   if int(args['point_tile']) and (

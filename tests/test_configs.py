@@ -177,6 +177,30 @@ class TestPretrainedMapperRecipes:
         'scale=full1chip,pose_backend=exhaustive')
     assert cfg.model.bev_mapper.pretrained_path is None
 
+  def test_localization_continue_step_schedule(self):
+    """continue_step=N resumes the 20k recipe's LR tail from an export."""
+    import math
+
+    from snap_tpu.configs import train_localization
+    from snap_tpu.train_lib import lr_schedules
+
+    cfg = train_localization.get_config(
+        'scale=full1chip,pose_backend=exhaustive,'
+        'pretrained_mapper=pretrained/full1chip,continue_step=7000')
+    assert cfg.num_training_steps == 13_000
+    # Original schedule at step 7000: past warmup, 3000/16000 into cosine.
+    expected = 2e-4 * 0.5 * (1 + math.cos(math.pi * 3_000 / 16_000))
+    assert abs(cfg.lr_configs.base_learning_rate - expected) < 1e-9
+    fn = lr_schedules.get_learning_rate_fn(cfg)
+    # 100-step re-warmup reaches the original step-7000 LR, then decays to 0.
+    assert abs(float(fn(100)) - expected) < 1e-7
+    assert float(fn(13_000)) < 1e-9
+    # Fresh data order: the shuffle seed must differ from the original run.
+    base = train_localization.get_config(
+        'scale=full1chip,pose_backend=exhaustive')
+    assert cfg.shuffle_seed != base.shuffle_seed
+    assert base.num_training_steps == 20_000
+
   def test_occupancy_batch_size_override(self, tmp_path):
     from snap_tpu.configs import train_occupancy
     self._fake_workdir(tmp_path)
