@@ -40,6 +40,10 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
       # views) needs a smaller batch than the small-scale default even
       # with the backward cut at the mapper output.
       batch_size=0,
+      # 0 keeps the per-scale default. Short supervised head runs (a few
+      # hundred steps on a shared chip) need a denser loss curve than the
+      # recipe's 100-step cadence.
+      log_summary_steps=0,
   )
   map_modalities = args['modalities'].split('+')
   config.model.bev_mapper = defaults.bev_mapper(map_modalities)
@@ -106,5 +110,7 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     config.log_eval_steps = 5_000
   if int(args['batch_size']):
     config.batch_size = int(args['batch_size'])
+  if int(args['log_summary_steps']):
+    config.log_summary_steps = int(args['log_summary_steps'])
   config.dtype_str = 'bfloat16'
   return config
