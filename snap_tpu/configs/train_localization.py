@@ -58,6 +58,20 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
       # replay the examples the original run already consumed.
       continue_step=0,
   )
+  cs = int(args['continue_step'])
+  if cs:
+    # Fail fast on silently-wrong continuations (ADVICE r4): the schedule
+    # tail below is only defined for the full1chip 20k recipe and needs a
+    # params export to continue from.
+    if not args['pretrained_mapper']:
+      raise ValueError('continue_step requires pretrained_mapper=<export>')
+    if args['scale'] != 'full1chip':
+      raise ValueError(
+          f'continue_step is only defined for scale=full1chip, '
+          f'got scale={args["scale"]}')
+    if not 0 < cs < 20_000:
+      raise ValueError(f'continue_step must be in (0, 20000), got {cs}')
+
   image_encoder = defaults.resnet(args['image_encoder'])
   if args['pretrained_resnet']:
     image_encoder.pretrained_path = str(args['pretrained_resnet'])
@@ -142,19 +156,19 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     config.max_grad_norm = 1.0
     config.dtype_str = 'bfloat16'
     config.init_backend = 'device'
-    if (cs := int(args['continue_step'])) > 0:
-      # Continue the original schedule's tail from a params-only export.
-      import math
-
-      base, warmup, decay0, cycle = 2e-4, 1_000, 4_000, 16_000
-      frac = min(1.0, max(0.0, (cs - decay0) / cycle))
-      effective_lr = base * min(1.0, cs / warmup) * 0.5 * (
-          1.0 + math.cos(math.pi * frac))
-      config.num_training_steps = max(200, 20_000 - cs)
+    if cs > 0:
+      # Continue the original schedule's EXACT tail from a params-only
+      # export (ADVICE r4): keep the original base LR and 16k cosine cycle
+      # and shift the decay origin back by cs, so lr(local step s) equals
+      # the original schedule's lr(cs + s) — the cosine clip handles a
+      # negative start_decay_step when cs > 4000. A 100-step linear
+      # re-warmup (fresh Adam moments from a params-only export) layers on
+      # top and is exact past local step 100 whenever cs >= 1000 (past the
+      # original warmup).
+      config.num_training_steps = 20_000 - cs
       config.lr_configs.warmup_steps = 100
-      config.lr_configs.start_decay_step = 100
-      config.lr_configs.base_learning_rate = effective_lr
-      config.lr_configs.steps_per_cycle = config.num_training_steps - 100
+      config.lr_configs.start_decay_step = 4_000 - cs
+      config.lr_configs.steps_per_cycle = 16_000
       config.shuffle_seed = 1234567 + cs
     return config
 

@@ -59,6 +59,10 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
         pretrained.model.bev_mapper.streetview_encoder)
     with sv.unlocked():
       sv.pretrained_path = workdir
+      # Bound the eval-side (train=False) lift like the training step:
+      # without point_tile_eval the eval lift is untiled and OOMs at full
+      # scale (round-4 run_sem_head precedent on the semantics twin).
+      sv.point_tile_eval = sv.get('point_tile') or 288_000
     config.model.streetview_encoder = sv
     # Frozen features are only meaningful on the mapper's training
     # distribution: follow its scene geometry.

@@ -79,6 +79,15 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     mapper = config_dict.ConfigDict(pretrained.model.bev_mapper)
     with mapper.unlocked():
       mapper.pretrained_path = workdir
+      if mapper.get('streetview_encoder') is not None:
+        # The in-loop eval runs the lift with train=False, which reads
+        # point_tile_eval (not the training point_tile); without it the
+        # eval-side lift is untiled and OOMs at full scale — the round-4
+        # run_sem_head crash (trainer.py in-loop eval, TPU
+        # RESOURCE_EXHAUSTED). Bound it with the same tile the training
+        # step fits with (eval_localization.py precedent).
+        mapper.streetview_encoder.point_tile_eval = (
+            mapper.streetview_encoder.get('point_tile') or 288_000)
     config.model.bev_mapper = mapper
     # Frozen features are only meaningful on the distribution the mapper
     # was trained on: follow its scene geometry.

@@ -154,6 +154,10 @@ class TestPretrainedMapperRecipes:
     assert tuple(cfg.data.image_size) == tuple(pre.data.image_size)
     assert cfg.optimizer_configs.allocate_frozen_state is False
     assert cfg.num_training_steps == 3_000
+    # The in-loop eval lift must be tiled (round-4 run_sem_head OOM): the
+    # eval-side tile follows the mapper's training tile.
+    sve = cfg.model.bev_mapper.streetview_encoder
+    assert sve.point_tile_eval == (sve.get('point_tile') or 288_000)
 
   def test_occupancy_pretrained_mapper(self, tmp_path):
     from snap_tpu.configs import train_occupancy
@@ -163,6 +167,9 @@ class TestPretrainedMapperRecipes:
     assert cfg.model.streetview_encoder.pretrained_path == str(tmp_path)
     assert (cfg.model.streetview_encoder.feature_dim
             == pre.model.bev_mapper.streetview_encoder.feature_dim)
+    # Eval-side lift tiling (round-4 run_sem_head OOM, occupancy twin).
+    sv = cfg.model.streetview_encoder
+    assert sv.point_tile_eval == (sv.get('point_tile') or 288_000)
     assert cfg.data.voxel_size == pre.data.voxel_size
     assert cfg.data.num_rays == 4_000
 
@@ -188,18 +195,46 @@ class TestPretrainedMapperRecipes:
         'scale=full1chip,pose_backend=exhaustive,'
         'pretrained_mapper=pretrained/full1chip,continue_step=7000')
     assert cfg.num_training_steps == 13_000
-    # Original schedule at step 7000: past warmup, 3000/16000 into cosine.
-    expected = 2e-4 * 0.5 * (1 + math.cos(math.pi * 3_000 / 16_000))
-    assert abs(cfg.lr_configs.base_learning_rate - expected) < 1e-9
+    # Exact tail (ADVICE r4): base LR and cycle stay the original's; the
+    # decay origin shifts back by cs so lr(s) == lr_original(cs + s).
+    assert abs(cfg.lr_configs.base_learning_rate - 2e-4) < 1e-12
+    assert cfg.lr_configs.start_decay_step == 4_000 - 7_000
+    assert cfg.lr_configs.steps_per_cycle == 16_000
     fn = lr_schedules.get_learning_rate_fn(cfg)
-    # 100-step re-warmup reaches the original step-7000 LR, then decays to 0.
-    assert abs(float(fn(100)) - expected) < 1e-7
+
+    def orig(step):  # the uninterrupted 20k recipe's LR
+      frac = min(1.0, max(0.0, (step - 4_000) / 16_000))
+      return 2e-4 * min(1.0, step / 1_000) * 0.5 * (
+          1 + math.cos(math.pi * frac))
+
+    # Past the 100-step re-warmup the tail matches the original exactly —
+    # including mid-tail (the round-4 re-phased approximation ran ~30%
+    # hotter at effective step 13500).
+    for local in (100, 500, 6_500, 12_000):
+      assert abs(float(fn(local)) - orig(7_000 + local)) < 1e-10, local
     assert float(fn(13_000)) < 1e-9
+    # During re-warmup the LR ramps linearly toward the tail value.
+    assert abs(float(fn(50)) - 0.5 * orig(7_050)) < 1e-10
     # Fresh data order: the shuffle seed must differ from the original run.
     base = train_localization.get_config(
         'scale=full1chip,pose_backend=exhaustive')
     assert cfg.shuffle_seed != base.shuffle_seed
     assert base.num_training_steps == 20_000
+
+  def test_localization_continue_step_validation(self):
+    """continue_step fails fast on misuse (ADVICE r4)."""
+    import pytest
+
+    from snap_tpu.configs import train_localization
+
+    with pytest.raises(ValueError, match='pretrained_mapper'):
+      train_localization.get_config('scale=full1chip,continue_step=7000')
+    with pytest.raises(ValueError, match='full1chip'):
+      train_localization.get_config(
+          'scale=small,pretrained_mapper=x,continue_step=7000')
+    with pytest.raises(ValueError, match='20000'):
+      train_localization.get_config(
+          'scale=full1chip,pretrained_mapper=x,continue_step=20000')
 
   def test_occupancy_batch_size_override(self, tmp_path):
     from snap_tpu.configs import train_occupancy
