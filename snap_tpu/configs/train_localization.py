@@ -71,6 +71,20 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
           f'got scale={args["scale"]}')
     if not 0 < cs < 20_000:
       raise ValueError(f'continue_step must be in (0, 20000), got {cs}')
+    # An export records its effective step as the checkpoint directory
+    # number (tools/export_pretrained.py --effective-step); a mismatched
+    # continue_step would silently build the wrong schedule tail.
+    import pathlib
+
+    ckdir = pathlib.Path(args['pretrained_mapper']) / 'checkpoints'
+    if ckdir.is_dir():
+      steps = sorted(int(p.name) for p in ckdir.iterdir()
+                     if p.name.isdigit())
+      if steps and cs not in steps:
+        raise ValueError(
+            f'continue_step={cs} does not match the export checkpoint '
+            f'step(s) {steps} in {ckdir.parent}; pass the matching step or '
+            f're-export with tools/export_pretrained.py --effective-step')
 
   image_encoder = defaults.resnet(args['image_encoder'])
   if args['pretrained_resnet']:

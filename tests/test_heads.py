@@ -120,6 +120,7 @@ class TestOccupancyNet:
     assert dists[-1] <= 5.0 - 0.2 + 1e-5
 
 
+@pytest.mark.heavy
 class TestStopMapperGradients:
   """stop_mapper_gradients: exact for the decoder, zero for the mapper."""
 

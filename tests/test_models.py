@@ -107,6 +107,7 @@ class TestBEVLocalizer:
     assert 'scores_grid_refine' in pred
     assert pred['map_t_query'].shape == (2,)
 
+  @pytest.mark.heavy
   def test_gradients_finite(self, dataset, batch):
     model = build_localizer(dataset)
     rngs = {'params': jax.random.PRNGKey(0),

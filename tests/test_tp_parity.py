@@ -15,6 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 import helpers
 from snap_tpu.configs import defaults
