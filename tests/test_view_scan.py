@@ -234,6 +234,7 @@ def test_stream_partial_visibility_pooling():
   assert 10.0 <= mean <= 20.0, mean
 
 
+@pytest.mark.heavy
 def test_stream_tiled_matches_untiled_incl_grad():
   """point_tile processing (lax.map + remat) is bit-identical to untiled,
   and its backward runs with bounded transients (training-scale guard)."""
