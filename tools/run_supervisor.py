@@ -33,6 +33,7 @@ import argparse
 import json
 import os
 import pathlib
+import re
 import signal
 import subprocess
 import sys
@@ -279,6 +280,12 @@ def main() -> None:
   ap.add_argument('--retry_secs', type=float, default=180.0)
   args = ap.parse_args()
 
+  # Effective-step stamping (ADVICE round-4 #4 follow-through): a
+  # continuation workdir's local step N is schedule step N+continue_step;
+  # stamp curve entries so the combined-run curve needs no side arithmetic.
+  m = re.search(r'continue_step=(\d+)', args.config)
+  continue_step = int(m.group(1)) if m else 0
+
   workdir = REPO / args.workdir
   results_dir = REPO / args.results_dir
   results_dir.mkdir(parents=True, exist_ok=True)
@@ -312,7 +319,8 @@ def main() -> None:
       dump = (workdir / 'evaluation' / f'{city}-synthetic_eval-s{step}'
               / 'results.npz')
       if rc == 0 and dump.exists():
-        entry = {'step': step, 'city': city, **summarize_dump(dump)}
+        entry = {'step': step, 'effective_step': step + continue_step,
+                 'city': city, **summarize_dump(dump)}
         curve.append(entry)
         curve.sort(key=lambda e: (e['step'], e['city']))
         curve_path.write_text(json.dumps(curve, indent=1))
