@@ -65,6 +65,18 @@ timeout 3000 python -m snap_tpu.train \
   > workdirs/run_occ_head_r5.log 2>&1
 log "occupancy head rc=$?"
 
+log 'eval-path profile (speed-of-light statement, VERDICT #6)'
+timeout 2400 python tools/profile_eval.py results/profile_eval_r5 \
+  > /tmp/profile_eval_r5.log 2>&1
+log "profile_eval rc=$?"
+
+log 'held-out eval of the committed s7500 export (VERDICT #3)'
+timeout 1800 python -m snap_tpu.evaluate \
+  --config='snap_tpu/configs/eval_localization.py:evaluation_size=256,batch_size=4,point_tile_eval=288000,tag=-s7500export' \
+  --workdir=pretrained/loc_full1chip_r4_s7500 --split=zurich \
+  --checkpoint_step=7500 > workdirs/s7500_export_eval.log 2>&1
+log "s7500 export eval rc=$?"
+
 log 'rotation-fan ablation on the final full-scale checkpoint'
 timeout 2700 python tools/rotation_ablation.py "$WORKDIR" zurich 256 4 \
   > /tmp/rotation_ablation_r5.log 2>&1
