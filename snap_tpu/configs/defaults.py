@@ -391,6 +391,11 @@ def bev_localizer() -> config_dict.ConfigDict:
           # outliers are wrong-mode failures that wider eval fans do not
           # recover, so the faster single fan stays the default.
           dense_refinement_stages=((5.0, 0.25),),
+          # Sub-bin parabolic peak fit on the final fan's score volume:
+          # recovers the fractional (angle, x, y) peak below the fan-step /
+          # cell-size quantization at negligible cost. Eval-time-only
+          # estimator change (does not affect the training loss).
+          subcell_refinement=False,
       )
   ).lock()
 

@@ -18,7 +18,10 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
       # 15.79G compile-time OOM untiled; docs/PERFORMANCE.md). Opt-in
       # because merging into a None streetview_encoder (aerial-only runs)
       # would wrongly materialize the modality.
-      point_tile_eval=0)
+      point_tile_eval=0,
+      # 1 enables the sub-bin parabolic peak fit on the refinement fan
+      # (model.subcell_refinement) — an eval-time estimator A/B.
+      subcell=0)
   config = config_dict.create(
       workdir=config_dict.placeholder(str),
       checkpoint_step=config_dict.placeholder(int),
@@ -50,6 +53,8 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
   if int(args['num_rotations']):
     # Dense-backend override: finer coarse rotation bins at eval time.
     config.model.num_rotations = int(args['num_rotations'])
+  if int(args['subcell']):
+    config.model.subcell_refinement = True
   if args['refinement_stages']:
     # Dense-refinement fan override, e.g. '5x0.25' (one ±5° fan at 0.25°,
     # the default) or '11x1+1.25x0.125' (re-centered two-stage; measured

@@ -12,13 +12,21 @@ from snap_tpu.configs import defaults
 
 
 def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
-  del args_str
+  args = defaults.parse_argument_string(args_str, pose_backend='ransac')
   config = defaults.base()
   config.model_name = 'bev_localizer'
   config.model = defaults.bev_localizer()
   config.model.filter_points_in_fov = True
   config.model.num_pose_samples = 64
   config.model.num_pose_sampling_retries = 2
+  # 'pose_backend=exhaustive' smoke-drives the dense FFT volume (and the
+  # dense refinement / subcell estimator at eval) at tiny scale.
+  config.model.pose_backend = str(args['pose_backend'])
+  if config.model.pose_backend == 'exhaustive':
+    config.model.num_rotations = 16
+    # The dense volume correlates the full rectangular query grid; the
+    # in-FoV point filter produces a sparse point list (ransac-only).
+    config.model.filter_points_in_fov = False
   config.model.bev_mapper = defaults.bev_mapper(('streetview', 'aerial'))
 
   dim = 32

@@ -300,7 +300,8 @@ class BEVLocalizer(nn.Module):
       m_t_q_best, fine_scores = (
           pose_exhaustive_voting.dense_refinement_batched(
               plane_q, plane_map, best_idx, self.grid_query, num_rot,
-              self.qgrid_p_q, stages=stages))
+              self.qgrid_p_q, stages=stages,
+              subcell=bool(self.config.get('subcell_refinement', False))))
       if self.config.add_temperature:
         fine_scores = fine_scores * jnp.exp(self.temperature)
       out['scores_grid_refine'] = fine_scores

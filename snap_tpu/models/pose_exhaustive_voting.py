@@ -341,6 +341,7 @@ def dense_refinement(
     range_r_deg: float = 5.0,
     range_p_cells: int = 20,
     stages: Optional[Tuple[Tuple[float, float], ...]] = None,
+    subcell: bool = False,
 ) -> Tuple[geometry.Transform2D, Array]:
   """Dense local refinement around a coarse pose-volume index.
 
@@ -405,9 +406,50 @@ def dense_refinement(
     center_angle = template_angles[fr]
     ab = jnp.stack([start[0] + fa - p, start[1] + fb - p])
 
-  tfm = offset_to_tfm(
-      -center_angle, ab.astype(jnp.float32), grid_q, qgrid_p_q)
+  ab = ab.astype(jnp.float32)
+  if subcell:
+    # Sub-bin peak: per-axis 3-point parabola fit at the argmax. The fan
+    # and translation grids quantize the estimate at delta_r/2 and
+    # cell_size/2; the local score surface of a matched template is smooth
+    # (sums of shifted feature products), so the quadratic vertex recovers
+    # the fractional peak. Offsets are index units in [-0.5, 0.5]; edge
+    # peaks and flat/non-concave fits fall back to the argmax.
+    off = parabolic_peak_offsets(scores, jnp.stack([fr, fa, fb]))
+    step_rad = jnp.deg2rad(stages[-1][1])
+    center_angle = center_angle - off[0] * step_rad
+    ab = ab + off[1:]
+
+  tfm = offset_to_tfm(-center_angle, ab, grid_q, qgrid_p_q)
   return tfm, scores
+
+
+def parabolic_peak_offsets(scores: Array, idx: Array) -> Array:
+  """Per-axis sub-bin offsets of a score-volume peak (3-pt parabola).
+
+  For each axis, fits ``f(x) = a x^2 + b x + c`` through the argmax value
+  and its two neighbors along that axis; the vertex ``x* = (s- - s+) /
+  (2 (s- - 2 s0 + s+))`` is the fractional peak in index units, clipped to
+  [-0.5, 0.5]. Returns 0 for an axis whose peak sits on the volume edge or
+  whose fit is not strictly concave (degenerate / flat score line).
+
+  ``scores``: [N0, N1, ..., Nk] volume; ``idx``: [k+1] integer argmax.
+  """
+  offs = []
+  s0 = scores[tuple(idx)]
+  for axis in range(scores.ndim):
+    n = scores.shape[axis]
+    i = idx[axis]
+    take = lambda j: jnp.take(  # noqa: E731 (per-axis neighbor read)
+        scores, jnp.clip(j, 0, n - 1), axis=axis
+    )[tuple(jnp.delete(idx, axis, assume_unique_indices=True))]
+    sm, sp = take(i - 1), take(i + 1)
+    den = sm - 2.0 * s0 + sp
+    interior = (i > 0) & (i < n - 1)
+    concave = den < -1e-12
+    raw = 0.5 * (sm - sp) / jnp.where(concave, den, -1.0)
+    offs.append(jnp.where(interior & concave,
+                          jnp.clip(raw, -0.5, 0.5), 0.0))
+  return jnp.stack(offs)
 
 
 def offset_to_tfm(
@@ -468,6 +510,7 @@ def dense_refinement_batched(
     num_rotations: int,
     qgrid_p_q: Array,
     stages: Optional[Tuple[Tuple[float, float], ...]] = None,
+    subcell: bool = False,
 ) -> Tuple[geometry.Transform2D, Array]:
   b = plane_map.features.shape[0]
   hq, wq = grid_q.extent
@@ -477,7 +520,8 @@ def dense_refinement_batched(
       lambda f, v, mf, mv, ci: dense_refinement(
           types.FeaturePlane(features=f, valid=v),
           types.FeaturePlane(features=mf, valid=mv),
-          ci, grid_q, num_rotations, qgrid_p_q, stages=stages)
+          ci, grid_q, num_rotations, qgrid_p_q, stages=stages,
+          subcell=subcell)
   )(feats_q, valid_q, plane_map.features, plane_map.valid, coarse_index)
 
 

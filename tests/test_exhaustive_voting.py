@@ -366,3 +366,71 @@ def test_refinement_gradients_with_bf16_features():
   assert grad.dtype == jnp.bfloat16
   assert np.isfinite(np.asarray(grad, np.float32)).all()
   assert np.abs(np.asarray(grad, np.float32)).max() > 0
+
+
+def test_parabolic_peak_offsets_recovers_fractional_peak():
+  """The 3-pt parabola recovers a planted fractional vertex per axis."""
+  frac = np.array([0.3, -0.2, 0.45])
+  center = np.array([4, 5, 6], float) + frac
+  r, a, b = np.meshgrid(
+      np.arange(9.0), np.arange(11.0), np.arange(13.0), indexing='ij')
+  scores = -((r - center[0]) ** 2 + (a - center[1]) ** 2
+             + (b - center[2]) ** 2)
+  idx = np.unravel_index(np.argmax(scores), scores.shape)
+  off = np.asarray(pev.parabolic_peak_offsets(
+      jnp.asarray(scores, jnp.float32), jnp.asarray(idx)))
+  got = np.asarray(idx) + off
+  np.testing.assert_allclose(got, center, atol=1e-4)
+
+
+def test_parabolic_peak_offsets_edge_and_flat_are_zero():
+  """Edge argmax and non-concave lines fall back to zero offset."""
+  scores = np.zeros((5, 5, 5), np.float32)
+  scores[0, 2, 2] = 1.0  # edge peak on axis 0; flat neighbors on axes 1/2
+  off = np.asarray(pev.parabolic_peak_offsets(
+      jnp.asarray(scores), jnp.asarray([0, 2, 2])))
+  # Axis 0: at the edge -> 0. Axes 1/2: neighbors equal (flat around a
+  # delta peak is concave: den = 0+0-2 < 0, symmetric -> 0 offset).
+  np.testing.assert_allclose(off, 0.0, atol=1e-6)
+
+
+def test_dense_refinement_subcell_improves_angle_and_position():
+  """Sub-bin refinement beats the fan/cell quantization on a planted pose."""
+  rng = np.random.default_rng(7)
+  cell = 0.5
+  num_rot = 16
+  grid = grids.Grid2D((16, 16), cell)
+  map_feats = jnp.asarray(rng.normal(size=(16, 16, 6)), jnp.float32)
+  valid = jnp.ones((16, 16), bool)
+
+  # Plant an angle mid-way between fan steps (1 deg fan -> 0.5 deg is the
+  # worst case for the argmax, the best case for the parabola).
+  true_angle = 2 * (2 * np.pi / num_rot) + np.deg2rad(2.5)
+  q_feats, q_valid = pev.sample_query_templates(
+      map_feats, valid, jnp.asarray([-true_angle]), grid)
+  plane_q = types.FeaturePlane(features=q_feats[0], valid=q_valid[0])
+  plane_m = types.FeaturePlane(features=map_feats, valid=valid)
+
+  volume = pev.exhaustive_pose_voting(plane_q, plane_m, num_rot, grid)
+  best = np.unravel_index(np.argmax(np.asarray(volume)), volume.shape)
+
+  def angle_err_deg(tfm):
+    got = float(np.asarray(tfm.angle)) % (2 * np.pi)
+    expected = (-true_angle) % (2 * np.pi)
+    err = np.rad2deg(abs(got - expected))
+    return min(err, 360 - err)
+
+  tfm_base, _ = pev.dense_refinement(
+      plane_q, plane_m, jnp.asarray(best), grid, num_rot,
+      np.zeros(2), range_r_deg=12.0, delta_r_deg=1.0)
+  tfm_sub, _ = pev.dense_refinement(
+      plane_q, plane_m, jnp.asarray(best), grid, num_rot,
+      np.zeros(2), range_r_deg=12.0, delta_r_deg=1.0, subcell=True)
+  # The planted angle sits exactly between two 1-deg fan steps: the argmax
+  # is >=0.4 deg off; the parabola must do strictly better.
+  assert angle_err_deg(tfm_base) >= 0.4
+  assert angle_err_deg(tfm_sub) < angle_err_deg(tfm_base), (
+      angle_err_deg(tfm_base), angle_err_deg(tfm_sub))
+  # And the translation stays consistent (subcell shift is <= half a cell).
+  dt = np.asarray(tfm_base.t) - np.asarray(tfm_sub.t)
+  assert np.all(np.abs(dt) <= cell / 2 + 1e-6)
