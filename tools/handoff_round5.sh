@@ -77,6 +77,13 @@ timeout 1800 python -m snap_tpu.evaluate \
   --checkpoint_step=7500 > workdirs/s7500_export_eval.log 2>&1
 log "s7500 export eval rc=$?"
 
+log 'subcell-refinement A/B on the final checkpoint (zurich, 256)'
+timeout 1800 python -m snap_tpu.evaluate \
+  --config='snap_tpu/configs/eval_localization.py:evaluation_size=256,batch_size=4,point_tile_eval=288000,subcell=1,tag=-subcell' \
+  --workdir="$WORKDIR" --split=zurich --checkpoint_step="$S" \
+  > workdirs/subcell_ab.log 2>&1
+log "subcell A/B rc=$?"
+
 log 'rotation-fan ablation on the final full-scale checkpoint'
 timeout 2700 python tools/rotation_ablation.py "$WORKDIR" zurich 256 4 \
   > /tmp/rotation_ablation_r5.log 2>&1
