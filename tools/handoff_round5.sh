@@ -44,6 +44,16 @@ else
 fi
 log "heads will adopt $MAPPER"
 
+log 'held-out evals of the FINAL checkpoint first (the supervisor skips
+evals past its deadline, so the curve endpoint must be evaluated here)'
+for CITY in zurich oslo; do
+  timeout 1800 python -m snap_tpu.evaluate \
+    --config="snap_tpu/configs/eval_localization.py:evaluation_size=256,batch_size=4,point_tile_eval=288000,tag=-s$S" \
+    --workdir="$WORKDIR" --split="$CITY" --checkpoint_step="$S" \
+    >> workdirs/final_eval.log 2>&1
+  log "final eval $CITY rc=$?"
+done
+
 log 'semantics head fine-tune (1000 steps, frozen trained mapper)'
 timeout 3000 python -m snap_tpu.train \
   --config="snap_tpu/configs/train_semantics.py:scale=small,pretrained_mapper=$MAPPER,batch_size=4,log_summary_steps=20" \
