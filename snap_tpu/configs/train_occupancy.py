@@ -73,6 +73,12 @@ def get_config(args_str: None | str = None) -> config_dict.ConfigDict:
     # A trained encoder is usually full-scale: CPU-backend init forward
     # takes minutes there (see train_localization.py init_backend note).
     config.init_backend = 'device'
+    # The eval step trilinearly reads the full 3D feature volume per
+    # example: at the full scale + batch 4 it schedules at 15.73 of
+    # 15.75 GiB (warm_train_cache probe) — the same red zone that OOMed
+    # the round-4 semantics in-loop eval at runtime. Halve the eval
+    # batch unless explicitly overridden.
+    config.eval_batch_size = 2
 
   if args['scale'] == 'small':
     config.data.evaluation_size = 128

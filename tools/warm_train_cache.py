@@ -110,11 +110,19 @@ def main():
       donate_argnums=(1,),
   )
 
+  # The in-loop eval may run at a different batch (config.eval_batch_size,
+  # trainer.py:483): rebuild the abstract batch with the eval leading dim.
+  eval_bs = config.get('eval_batch_size') or config.batch_size
+  eval_batch_abs = jax.tree_util.tree_map(
+      lambda s: jax.ShapeDtypeStruct(
+          (eval_bs, *s.shape[1:]) if s.shape else s.shape, s.dtype),
+      batch_abs)
+
   rng_abs = abstract(jax.random.PRNGKey(2))
   with jax.set_mesh(mesh):
     for name, step, a in (('train_step', train_step_jit, (state, batch_abs)),
                           ('eval_step', eval_step_jit,
-                           (state, batch_abs, rng_abs))):
+                           (state, eval_batch_abs, rng_abs))):
       t0 = time.monotonic()
       try:
         compiled = step.lower(*a).compile()
