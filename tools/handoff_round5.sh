@@ -44,9 +44,14 @@ else
 fi
 log "heads will adopt $MAPPER"
 
-log 'held-out evals of the FINAL checkpoint first (the supervisor skips
-evals past its deadline, so the curve endpoint must be evaluated here)'
+log 'held-out evals of the FINAL checkpoint first (skipped when the
+supervisor already evaluated this step at a boundary)'
 for CITY in zurich oslo; do
+  if grep -q "\"step\": $S" results/run_full1chip_c2/heldout_curve.json \
+      && grep -q "\"city\": \"$CITY\"" results/run_full1chip_c2/heldout_curve.json; then
+    log "final eval $CITY already in the curve; skipping"
+    continue
+  fi
   timeout 1800 python -m snap_tpu.evaluate \
     --config="snap_tpu/configs/eval_localization.py:evaluation_size=256,batch_size=4,point_tile_eval=288000,tag=-s$S" \
     --workdir="$WORKDIR" --split="$CITY" --checkpoint_step="$S" \
