@@ -57,5 +57,12 @@ timeout 1200 python tools/profile_eval.py results/profile_eval_r5 \
   > /tmp/profile_eval_r5.log 2>&1
 log "profile_eval rc=$?"
 
+log 'optional: 128-rotation eval (full-scale repeat of the r3 ablation)'
+timeout 1200 python -m snap_tpu.evaluate \
+  --config='snap_tpu/configs/eval_localization.py:evaluation_size=256,batch_size=4,point_tile_eval=288000,num_rotations=128,tag=-rot128' \
+  --workdir="$WORKDIR" --split=zurich --checkpoint_step="$S" \
+  > workdirs/rot128_ab.log 2>&1
+log "rot128 eval rc=$?"
+
 touch /tmp/window_r5_done
 log 'window complete'
