@@ -434,3 +434,43 @@ def test_dense_refinement_subcell_improves_angle_and_position():
   # And the translation stays consistent (subcell shift is <= half a cell).
   dt = np.asarray(tfm_base.t) - np.asarray(tfm_sub.t)
   assert np.all(np.abs(dt) <= cell / 2 + 1e-6)
+
+
+def test_localizer_wires_subcell_refinement_flag():
+  """Config plumbing guard: subcell_refinement=True reaches the parabola.
+
+  (The round-5 smoke A/B initially measured nothing because the smoke
+  config silently dropped its args — this pins the model-side wiring.)
+  """
+  import helpers
+  from snap_tpu.models import bev_localizer
+
+  dataset = helpers.tiny_dataset(batch_size=2)
+  batch = dataset.meta_data['get_dummy_batch_fn']()
+  batch.pop('_host', None)
+  rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1)}
+
+  calls = []
+  orig = pev.parabolic_peak_offsets
+
+  def spy(scores, idx):
+    calls.append(True)
+    return orig(scores, idx)
+
+  pev.parabolic_peak_offsets = spy
+  try:
+    for flag, expect_called in ((False, 0), (True, 1)):
+      calls.clear()
+      config = helpers.tiny_localizer(
+          pose_backend='exhaustive', filter_points_in_fov=False,
+          num_rotations=8, do_grid_refinement=True,
+          subcell_refinement=flag)
+      model = bev_localizer.BEVLocalizerModel(
+          config, dataset.meta_data, jnp.float32)
+      variables = model.flax_model.init(rngs, batch, train=False)
+      model.flax_model.apply(
+          variables, batch, train=False,
+          rngs={'sampling': jax.random.PRNGKey(2)})
+      assert bool(calls) == bool(expect_called), (flag, calls)
+  finally:
+    pev.parabolic_peak_offsets = orig
