@@ -445,6 +445,15 @@ def main():
       'num_timing_iters': NUM_ITERS,
       'device': str(jax.devices()[0]),
   }
+  # Eval-path ceiling vs achieved (VERDICT r4 #6): written by the round-5
+  # stage profile (tools/profile_eval.py -> docs/PERFORMANCE.md analysis).
+  ceiling_path = _REPO / 'results' / 'eval_ceiling.json'
+  if ceiling_path.exists():
+    try:
+      ceiling = json.loads(ceiling_path.read_text())
+      out['eval_ceiling'] = ceiling
+    except (json.JSONDecodeError, OSError):
+      pass
   if train_step_sec is not None:
     out['train_step_sec_full_scale'] = round(train_step_sec, 3)
     out['train_examples_per_sec'] = round(TRAIN_BATCH / train_step_sec, 3)
