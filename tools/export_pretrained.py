@@ -48,6 +48,15 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# The axon sitecustomize force-sets jax_platforms='axon,cpu' AFTER env
+# vars are read (train.py:25-29 precedent); restore the user's explicit
+# JAX_PLATFORMS so a CPU-only export never waits on a (possibly dead)
+# device tunnel.
+import os  # noqa: E402
+import jax  # noqa: E402
+if (_platforms := os.environ.get('JAX_PLATFORMS')):
+  jax.config.update('jax_platforms', _platforms)
+
 
 def main() -> None:
   ap = argparse.ArgumentParser()
