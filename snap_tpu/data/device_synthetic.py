@@ -243,9 +243,22 @@ def make_rasters(spec: Spec, texture: DataDict, boxes: DataDict,
   thresholds = np.linspace(0.35, 0.65, spec.num_sem_classes)
   sem = jnp.stack(
       [rgb[..., i % 3] > t for i, t in enumerate(thresholds)], -1)
-  thresholds = np.linspace(0.3, 0.7, spec.num_gt_classes)
-  gt = jnp.stack(
-      [rgb[..., (i + 1) % 3] > t for i, t in enumerate(thresholds)], -1)
+  # Band-partitioned GT masks — must mirror synthetic.py's host generator
+  # exactly (same edges/grouping), so head recipes train (device) and
+  # evaluate (host) on the same label distribution. See synthetic.py for
+  # why bands replaced nested superlevel sets (degenerate argmax labels).
+  n_gt = spec.num_gt_classes
+  gt_layers = [None] * n_gt
+  for ch in range(3):
+    group = [i for i in range(n_gt) if (i + 1) % 3 == ch]
+    if not group:
+      continue
+    edges = np.linspace(0.36, 0.64, len(group) + 1)
+    edges[0], edges[-1] = -np.inf, np.inf
+    v = rgb[..., ch]
+    for rank, i in enumerate(group):
+      gt_layers[i] = (v > edges[rank]) & (v <= edges[rank + 1])
+  gt = jnp.stack(gt_layers, -1)
 
   if boxes['mins'].shape[0]:
     inside = box_footprint(boxes, xy)  # [X, Y, K]

@@ -345,9 +345,26 @@ class SyntheticSceneGenerator:
         rgb[..., i % 3] > t for i, t in enumerate(thresholds)], -1)
     rasters['semantics'] = sem
     gt_classes = list(self.rasters_config.gt_semantic_classes)
-    thresholds = np.linspace(0.3, 0.7, len(gt_classes))
-    gt = np.stack([
-        rgb[..., (i + 1) % 3] > t for i, t in enumerate(thresholds)], -1)
+    # Band-partitioned GT masks: class i's mask is a level BAND of its
+    # texture channel, not a nested superlevel set. Nested sets made the
+    # head-supervision argmax labels degenerate — same-channel masks are
+    # subsets of each other, so 97.8% of cells labeled as the first class
+    # and most per-class recalls pinned at 0/0 (measured, round 5,
+    # results/run_sem_head_r5). Same-channel bands are disjoint (honest
+    # support for every class); cross-channel overlaps keep the
+    # multi-label character. Edges span the texture's 10-90% quantile
+    # range (~[0.37, 0.63]) with open tails.
+    n_gt = len(gt_classes)
+    gt = np.zeros((*rgb.shape[:-1], n_gt), bool)
+    for ch in range(3):
+      group = [i for i in range(n_gt) if (i + 1) % 3 == ch]
+      if not group:
+        continue
+      edges = np.linspace(0.36, 0.64, len(group) + 1)
+      edges[0], edges[-1] = -np.inf, np.inf
+      v = rgb[..., ch]
+      for rank, i in enumerate(group):
+        gt[..., i] = (v > edges[rank]) & (v <= edges[rank + 1])
     if boxes is not None:
       footprint = boxes.footprint_mask(xy)
       rgb = np.where(
