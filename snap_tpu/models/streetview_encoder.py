@@ -41,10 +41,24 @@ class StreetViewEncoder(nn.Module):
   def __post_init__(self):
     if (workdir := self.config.get('pretrained_path')) is not None:
       pretrained_config = config_utils.config_load(workdir)
-      self.config = config_utils.configs_merge(
+      merged = config_utils.configs_merge(
           self.config,
           pretrained_config.model.bev_mapper.streetview_encoder,
       )
+      # The merge is "export wins" so adopted params match the export's
+      # architecture — but the export's own encoder subtree carries
+      # pretrained_path=None (a localization run warm-starts at the
+      # *mapper* level), which would clobber the very pointer that
+      # triggered this merge and silently skip adoption in
+      # load_pretrained_variables (round-5 run_occ_head_r5 failure:
+      # 1000 head steps on a frozen random encoder, no 'Updating N
+      # variable(s)' line). Adoption-control keys stay live.
+      with merged.unlocked():
+        merged.pretrained_path = workdir
+        for key in ('point_tile_eval', 'point_tile'):
+          if (live := self.config.get(key)) is not None:
+            merged[key] = live
+      self.config = merged
     super().__post_init__()
 
   def setup(self):

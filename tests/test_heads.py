@@ -220,3 +220,68 @@ class TestStopMapperGradients:
     for k in head:
       np.testing.assert_array_equal(
           np.asarray(flat_cut[k]), np.asarray(flat_ref[k]), err_msg=k)
+
+
+class TestEncoderAdoptionFromExport:
+  """Round-5 regression (run_occ_head_r5): a localization export's saved
+  encoder subtree carries ``pretrained_path: None`` (that run warm-starts
+  at the *mapper* level), and StreetViewEncoder.__post_init__'s
+  export-wins config merge let that None clobber the live adoption
+  pointer — update_pretrained_variables then gathered nothing and the
+  occupancy head silently trained on a frozen random encoder. The merge
+  must keep adoption-control keys live."""
+
+  def test_merge_keeps_pointer_and_adopts_params(
+      self, dataset, batch, tmp_path):
+    from ml_collections import config_dict
+    from snap_tpu.train_lib import checkpoints
+    from snap_tpu.train_lib import trainer
+    from snap_tpu.utils import configs as config_utils
+
+    enc_cfg = helpers.tiny_streetview_encoder()
+    assert 'pretrained_path' in enc_cfg  # the clobber source must exist
+    assert enc_cfg.pretrained_path is None
+
+    # Fake localization export: config (encoder subtree under
+    # model.bev_mapper) + a params checkpoint with recognizable values.
+    export_cfg = config_dict.ConfigDict(
+        {'model': {'bev_mapper': {'streetview_encoder': enc_cfg.to_dict()}}})
+    config_utils.config_save(tmp_path, export_cfg)
+
+    occ_cfg = defaults.occupancy_net()
+    occ_cfg.streetview_encoder = config_dict.ConfigDict(enc_cfg)
+    occ_cfg.num_samples_per_ray = 5
+    occ_cfg.occupancy_mlp.layers = (16, 1)
+    model = occupancy_net.OccupancyNetModel(
+        occ_cfg, dataset.meta_data, jnp.float32)
+    rngs = {'params': jax.random.PRNGKey(0),
+            'sampling': jax.random.PRNGKey(1)}
+    variables = jax.jit(
+        lambda b: model.flax_model.init(rngs, b, train=False))(batch)
+
+    enc_params = flax.core.unfreeze(
+        variables['params'])['streetview_encoder']
+    marked = jax.tree_util.tree_map(
+        lambda p: np.full_like(np.asarray(p), 0.5), enc_params)
+    checkpoints.save_checkpoint(
+        tmp_path,
+        {'params': {'bev_mapper': {'streetview_encoder': marked}}},
+        step=1)
+
+    with occ_cfg.streetview_encoder.unlocked():
+      occ_cfg.streetview_encoder.pretrained_path = str(tmp_path)
+    model2 = occupancy_net.OccupancyNetModel(
+        occ_cfg, dataset.meta_data, jnp.float32)
+    flax_model = model2.flax_model
+    # The module-level merge must not lose the pointer.
+    assert (flax_model.config.streetview_encoder.pretrained_path
+            == str(tmp_path))
+
+    updated = trainer.update_pretrained_variables(flax_model, variables)
+    flat = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(updated)['params'], sep='/')
+    adopted = [k for k in flat if k.startswith('streetview_encoder/')]
+    assert adopted
+    for k in adopted:
+      np.testing.assert_array_equal(
+          np.asarray(flat[k]), np.full(flat[k].shape, 0.5), err_msg=k)
